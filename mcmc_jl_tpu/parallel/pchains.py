@@ -1,0 +1,180 @@
+"""Parallel chain engine: vmap within a chip, mesh-sharding across chips.
+
+This replaces the reference's distributed backend — Julia ``pmap`` of whole
+chains over worker processes (reference: src/runners/runners.jl:35-42,
+examples/parallel_serialmc.jl) — with the idiomatic TPU design (SURVEY §2.4):
+identical-structure chains are a *batch axis*, advanced by one vmapped
+``lax.scan`` and sharded over a ``jax.sharding.Mesh`` so XLA partitions the
+batch across devices (ICI), with no host round-trips.  Chains are
+independent, so scaling is embarrassingly parallel; only diagnostics or
+pooled adaptation ever touch collectives.
+
+``run_chains`` is the engine (returns stacked arrays, stays on device);
+``prun_serialmc`` adapts it to the reference's ``prun`` surface (a list of
+per-task chains)."""
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.chain import MCMCChain
+from ..core.task import MCMCTask
+from ..samplers.base import RunCtx
+from ..utils.table import Table
+
+CHAIN_AXIS = "chains"
+
+
+def default_mesh(axis=CHAIN_AXIS, devices=None):
+    """A 1-D mesh over all local devices (chain data-parallel axis)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def _shard_chains(tree, mesh):
+    if mesh is None:
+        return tree
+    sharding = NamedSharding(mesh, P(CHAIN_AXIS))
+
+    def put(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % mesh.devices.size == 0:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+@partial(jax.jit, static_argnames=("sampler", "ctx", "nsteps", "thinning", "keep_every_info"))
+def _scan_chains(model, sampler, ctx, states, key, nsteps, thinning=1,
+                 keep_every_info=True):
+    """Advance a batch of chains ``nsteps`` steps; ys are the per-step infos.
+
+    With ``thinning > 1`` the scan emits only every ``thinning``-th info
+    (steps grouped in an inner ``fori_loop``), keeping output buffers small
+    for long thinned runs."""
+    n_chains = jax.tree_util.tree_leaves(states)[0].shape[0]
+
+    def one_step(states, k):
+        ks = jax.random.split(k, n_chains)
+        return jax.vmap(lambda s, kk: sampler.step(model, ctx, s, kk))(states, ks)
+
+    if thinning == 1:
+        keys = jax.random.split(key, nsteps)
+        return jax.lax.scan(one_step, states, keys)
+
+    nkept = nsteps // thinning
+
+    def group(states, k):
+        gks = jax.random.split(k, thinning)
+
+        def body(i, st):
+            st, _ = one_step(st, gks[i])
+            return st
+
+        states = jax.lax.fori_loop(0, thinning - 1, body, states)
+        states, info = one_step(states, gks[thinning - 1])
+        return states, info
+
+    keys = jax.random.split(key, nkept)
+    return jax.lax.scan(group, states, keys)
+
+
+def init_chains(model, sampler, n_chains, key, inits=None, jitter=0.0,
+                mesh=None):
+    """Batched sampler state for ``n_chains`` chains.
+
+    ``inits``: (n_chains, size) initial positions; default: model.init
+    broadcast (optionally Gaussian-jittered by ``jitter``)."""
+    k_init, k_jit = jax.random.split(key)
+    if inits is None:
+        inits = jnp.broadcast_to(model.init, (n_chains, model.size))
+        if jitter > 0:
+            inits = inits + jitter * jax.random.normal(
+                k_jit, inits.shape, dtype=inits.dtype
+            )
+    else:
+        inits = jnp.asarray(inits)
+    inits = _shard_chains(inits, mesh)
+    keys = jax.random.split(k_init, n_chains)
+    states = jax.vmap(lambda th, k: sampler.init(model, th, k))(inits, keys)
+    return _shard_chains(states, mesh)
+
+
+def run_chains(model, sampler, runner, n_chains, key=None, seed: int = 0,
+               inits=None, jitter: float = 0.0, mesh=None, states=None,
+               thin_on_device: bool = False):
+    """Run ``n_chains`` identical chains; returns (infos, final_states, key).
+
+    ``infos`` arrays have shape (kept_steps, n_chains, ...) and stay on
+    device until the caller materializes them."""
+    sampler.check(model)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    key, k_init, k_run = jax.random.split(key, 3)
+    if states is None:
+        states = init_chains(model, sampler, n_chains, k_init, inits=inits,
+                             jitter=jitter, mesh=mesh)
+    ctx = RunCtx(burnin=runner.burnin)
+    thinning = runner.thinning if thin_on_device else 1
+    final_states, infos = _scan_chains(
+        model, sampler, ctx, states, k_run, runner.len, thinning=thinning
+    )
+    return infos, final_states, key
+
+
+def prun_serialmc(tasks, seed: int = 0, mesh=None):
+    """Reference-``prun`` surface: a list of SerialMC tasks -> list of chains.
+
+    Tasks with identical (model fns, sampler, runner) are batched into one
+    vmapped+sharded launch; heterogeneous lists split into groups."""
+    t0 = time.time()
+
+    # group tasks by compiled structure
+    groups = {}
+    for idx, t in enumerate(tasks):
+        sig = (t.model.eval, t.model.evalallg, t.sampler, t.runner)
+        groups.setdefault(sig, []).append(idx)
+
+    results = [None] * len(tasks)
+    key = jax.random.PRNGKey(seed)
+    for gi, (sig, idxs) in enumerate(groups.items()):
+        t = tasks[idxs[0]]
+        n = len(idxs)
+        infos, final_states, _ = run_chains(
+            t.model, t.sampler, t.runner, n, key=jax.random.fold_in(key, gi),
+            mesh=mesh,
+        )
+        infos = jax.device_get(infos)
+        keep = np.asarray(list(t.runner.r)) - 1
+        cn = t.model.column_names()
+        for ci, idx in enumerate(idxs):
+            samples = Table(np.asarray(infos["ppars"])[keep, ci], cn)
+            if "pgrads" in infos:
+                gradients = Table(np.asarray(infos["pgrads"])[keep, ci], cn)
+            else:
+                gradients = Table(np.zeros((0, t.model.size)), cn)
+            skip = {"ppars", "pgrads", "pars", "grads", "plogtarget", "logtarget"}
+            diags = {"step": np.asarray(list(t.runner.r))}
+            for k, v in infos.items():
+                if k not in skip:
+                    diags[k] = np.asarray(v)[keep, ci]
+            diags["logtarget"] = np.asarray(infos["plogtarget"])[keep, ci]
+            state_i = jax.tree_util.tree_map(lambda a: a[ci], final_states)
+            new_task = MCMCTask(t.model, t.sampler, t.runner, state=state_i,
+                                key=jax.random.fold_in(key, 1000 + idx),
+                                pos=t.runner.len)
+            results[idx] = MCMCChain(
+                range=t.runner.r,
+                samples=samples,
+                gradients=gradients,
+                diagnostics=diags,
+                task=new_task,
+                run_time=time.time() - t0,
+            )
+    return results

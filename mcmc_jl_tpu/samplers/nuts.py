@@ -1,0 +1,292 @@
+"""No-U-Turn sampler (reference: src/samplers/NUTS.jl; Hoffman & Gelman 2011).
+
+The reference builds trees with host recursion (NUTS.jl:85-118).  Recursion
+and dynamic shapes don't exist under XLA, so the doubling is re-derived as an
+*iterative* tree expansion (SURVEY §7 hard part (a)): each doubling runs a
+bounded ``lax.while_loop`` over the 2^j new leapfrog leaves, selecting the
+subtree proposal by reservoir sampling (probabilistically identical to the
+recursive pairwise ``rand() <= n2/(n1+n2)`` merge, NUTS.jl:106), and checking
+every power-of-two-aligned sub-span for u-turns against a checkpoint stack of
+at most ``maxdoublings`` stored states, addressed with bit tricks:
+
+- an even leaf ``k`` is stored at slot ``popcount(k)``;
+- at an odd leaf ``k``, the spans ending at ``k`` have start states in slots
+  ``popcount(k>>1) - trailing_ones(k) + 1 .. popcount(k>>1)``.
+
+Semantics matched to the reference: log-space slice variable
+``u = log(rand()) - H0`` (NUTS.jl:141), leaf validity ``u <= -H``, divergence
+gate ``u < deltamax - H`` with deltamax=100 (NUTS.jl:90-95), u-turn test
+``dot(th+ - th-, m) < 0`` on either endpoint momentum (NUTS.jl:50), momentum
+scaled by ``model.scale`` (NUTS.jl:73,138), and hard-coded dual-averaging
+constants delta=0.7, nadapt=1000, gamma=0.05, kappa=0.75, t0=10
+(NUTS.jl:121-125).  Diagnostics: ``epsilon``, ``ndoublings`` (NUTS.jl:177).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .base import RunCtx, Sampler, pytree_dataclass
+from .hmc import hamiltonian, leapfrog
+
+DELTAMAX = 100.0
+# dual-averaging constants (NUTS.jl:121-125)
+DELTA = 0.7
+NADAPT = 1000
+GAM = 0.05
+KAPPA = 0.75
+T0 = 10.0
+
+
+@pytree_dataclass
+class NUTSState:
+    pars: jnp.ndarray
+    logtarget: jnp.ndarray
+    grad: jnp.ndarray
+    epsilon: jnp.ndarray
+    mu: jnp.ndarray
+    hbar: jnp.ndarray
+    lebar: jnp.ndarray
+    i: jnp.ndarray
+
+
+def _trailing_ones(k):
+    lsb0 = (k + 1) & -(k + 1)  # lowest zero bit position as power of two
+    return jax.lax.population_count(lsb0 - 1)
+
+
+def _popcount(k):
+    return jax.lax.population_count(k)
+
+
+@dataclasses.dataclass(frozen=True, repr=False)
+class NUTS(Sampler):
+    maxdoublings: int = 5
+
+    needs_gradient = True
+
+    def __post_init__(self):
+        assert self.maxdoublings > 0, "max doublings should be > 0"
+        assert self.maxdoublings < 20, "max doublings reasonably be < 20"
+
+    # ------------------------------------------------------------------
+    def init(self, model, theta0, key):
+        lp, g = model.evalallg(theta0)
+        scale = model.scale.astype(theta0.dtype)
+        m = jax.random.normal(key, theta0.shape, dtype=theta0.dtype) * scale
+        # initial step size heuristic (NUTS.jl:72-82), bounded for safety
+        H0 = hamiltonian(lp, m)
+
+        def accept_ratio(eps):
+            _, lp1, _, m1 = leapfrog(model, theta0, m, g, eps)
+            r = jnp.exp(H0 - hamiltonian(lp1, m1))
+            return jnp.where(jnp.isnan(r), 0.0, r)
+
+        eps0 = jnp.asarray(1.0, dtype=theta0.dtype)
+        r0 = accept_ratio(eps0)
+        a = jnp.where(r0 > 0.5, 1.0, -1.0)
+
+        def cond(carry):
+            eps, r, it = carry
+            return (r**a > 2.0 ** (-a)) & (it < 100)
+
+        def body(carry):
+            eps, r, it = carry
+            eps = eps * 2.0**a
+            return eps, accept_ratio(eps), it + 1
+
+        eps, _, _ = jax.lax.while_loop(cond, body, (eps0, r0, jnp.asarray(0)))
+
+        return NUTSState(
+            pars=theta0, logtarget=lp, grad=g,
+            epsilon=eps, mu=jnp.log(10.0 * eps),
+            hbar=jnp.asarray(0.0, dtype=theta0.dtype),
+            lebar=jnp.asarray(0.0, dtype=theta0.dtype),
+            i=jnp.asarray(1, dtype=jnp.int32),
+        )
+
+    def reset(self, model, state, theta):
+        lp, g = model.evalallg(theta)
+        return state.replace(pars=theta, logtarget=lp, grad=g)
+
+    # ------------------------------------------------------------------
+    def _build_subtree(self, model, z_edge, eps_signed, dirn, n_leaves, u_slice,
+                       H0, key):
+        """Iteratively build a subtree of ``n_leaves`` leapfrog leaves from
+        the edge state; returns (z_end, prop, n_valid, ok, alpha, nalpha)."""
+        pars, m, lp, grad = z_edge
+        d = pars.shape[0]
+        dtype = pars.dtype
+        md = self.maxdoublings
+
+        ckpt_pars = jnp.zeros((md, d), dtype=dtype)
+        ckpt_m = jnp.zeros((md, d), dtype=dtype)
+
+        def cond(c):
+            return (c["k"] < n_leaves) & c["ok"]
+
+        def body(c):
+            key, k_sel = jax.random.split(c["key"])
+            pars, lp, grad, m = leapfrog(model, c["pars"], c["m"], c["grad"],
+                                         eps_signed)
+            H = hamiltonian(lp, m)
+            leaf_valid = u_slice <= -H  # NUTS.jl:91
+            leaf_ok = u_slice < DELTAMAX - H  # NUTS.jl:92
+            leaf_ok = leaf_ok & ~jnp.isnan(H)
+            alpha_leaf = jnp.minimum(1.0, jnp.exp(H0 - H))
+            alpha_leaf = jnp.where(jnp.isnan(alpha_leaf), 0.0, alpha_leaf)
+
+            n_new = c["n"] + leaf_valid.astype(jnp.int32)
+            # reservoir: uniform among valid leaves == recursive n2/(n1+n2)
+            take = leaf_valid & (
+                jax.random.uniform(k_sel, (), dtype=dtype) * n_new.astype(dtype) < 1.0
+            )
+            prop_pars = jnp.where(take, pars, c["prop_pars"])
+            prop_lp = jnp.where(take, lp, c["prop_lp"])
+            prop_grad = jnp.where(take, grad, c["prop_grad"])
+
+            k = c["k"]
+            is_even = (k % 2) == 0
+            slot_store = _popcount(k)
+            ckpt_pars = jnp.where(
+                is_even & (slot_store < md),
+                c["ckpt_pars"].at[jnp.minimum(slot_store, md - 1)].set(pars),
+                c["ckpt_pars"],
+            )
+            ckpt_m = jnp.where(
+                is_even & (slot_store < md),
+                c["ckpt_m"].at[jnp.minimum(slot_store, md - 1)].set(m),
+                c["ckpt_m"],
+            )
+
+            # u-turn checks for every span ending at odd leaf k (NUTS.jl:50)
+            idx_max = _popcount(k >> 1)
+            idx_min = idx_max - _trailing_ones(k) + 1
+            slots = jnp.arange(md)
+            active = (~is_even) & (slots >= idx_min) & (slots <= idx_max)
+            delta = dirn * (pars[None, :] - ckpt_pars)  # (md, d)
+            turn = (jnp.sum(delta * ckpt_m, axis=1) < 0) | (
+                jnp.sum(delta * m[None, :], axis=1) < 0
+            )
+            turned = jnp.any(active & turn)
+
+            ok = c["ok"] & leaf_ok & ~turned
+            return {
+                "k": k + 1, "pars": pars, "lp": lp, "grad": grad, "m": m,
+                "prop_pars": prop_pars, "prop_lp": prop_lp, "prop_grad": prop_grad,
+                "n": n_new, "ok": ok,
+                "alpha": c["alpha"] + alpha_leaf, "nalpha": c["nalpha"] + 1,
+                "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
+            }
+
+        init = {
+            "k": jnp.asarray(0, jnp.int32), "pars": pars, "lp": lp, "grad": grad,
+            "m": m,
+            "prop_pars": pars, "prop_lp": lp, "prop_grad": grad,
+            "n": jnp.asarray(0, jnp.int32), "ok": jnp.asarray(True),
+            "alpha": jnp.asarray(0.0, dtype), "nalpha": jnp.asarray(0, jnp.int32),
+            "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        z_end = (out["pars"], out["m"], out["lp"], out["grad"])
+        prop = (out["prop_pars"], out["prop_lp"], out["prop_grad"])
+        return z_end, prop, out["n"], out["ok"], out["alpha"], out["nalpha"]
+
+    # ------------------------------------------------------------------
+    def step(self, model, ctx: RunCtx, state, key):
+        dtype = state.pars.dtype
+        d = state.pars.shape[0]
+        scale = model.scale.astype(dtype)
+        k_mom, k_slice, k_tree = jax.random.split(key, 3)
+
+        m0 = jax.random.normal(k_mom, (d,), dtype=dtype) * scale
+        H0 = hamiltonian(state.logtarget, m0)
+        # log-space slice variable (NUTS.jl:141)
+        u_slice = jnp.log(jax.random.uniform(k_slice, (), dtype=dtype)) - H0
+
+        eps = state.epsilon
+        z0 = (state.pars, m0, state.logtarget, state.grad)
+
+        def cond(c):
+            return c["s"] & (c["j"] < self.maxdoublings)
+
+        def body(c):
+            key, k_dir, k_acc, k_sub = jax.random.split(c["key"], 4)
+            dirn = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0).astype(dtype)
+            go_fwd = dirn > 0
+
+            edge = jax.tree_util.tree_map(
+                lambda p, mn: jnp.where(go_fwd, p, mn), c["z_plus"], c["z_minus"]
+            )
+            n_leaves = jnp.asarray(1, jnp.int32) << c["j"]
+            z_end, prop1, n1, s1, alpha, nalpha = self._build_subtree(
+                model, edge, dirn * eps, dirn, n_leaves, u_slice, H0, k_sub
+            )
+            z_plus = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(go_fwd, b, a), c["z_plus"], z_end
+            )
+            z_minus = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(go_fwd, a, b), c["z_minus"], z_end
+            )
+
+            # accept subtree proposal with prob n1/n (NUTS.jl:160)
+            u = jax.random.uniform(k_acc, (), dtype=dtype)
+            take = s1 & (u * c["n"].astype(dtype) < n1.astype(dtype))
+            prop = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, b, a), c["prop"], prop1
+            )
+
+            # overall u-turn between extreme states (NUTS.jl:165)
+            dpars = z_plus[0] - z_minus[0]
+            turned = (jnp.dot(dpars, z_minus[1]) < 0) | (jnp.dot(dpars, z_plus[1]) < 0)
+            s = s1 & ~turned
+
+            return {
+                "j": c["j"] + 1, "n": c["n"] + n1, "s": s,
+                "z_minus": z_minus, "z_plus": z_plus, "prop": prop,
+                "alpha": alpha, "nalpha": nalpha, "key": key,
+            }
+
+        init = {
+            "j": jnp.asarray(0, jnp.int32), "n": jnp.asarray(1, jnp.int32),
+            "s": jnp.asarray(True),
+            "z_minus": z0, "z_plus": z0,
+            "prop": (state.pars, state.logtarget, state.grad),
+            "alpha": jnp.asarray(1.0, dtype), "nalpha": jnp.asarray(1, jnp.int32),
+            "key": k_tree,
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        new_pars, new_lp, new_grad = out["prop"]
+
+        # --- dual averaging (NUTS.jl:162-169) ----------------------------
+        i = state.i.astype(dtype)
+        in_adapt = state.i <= NADAPT
+        avg_alpha = out["alpha"] / jnp.maximum(out["nalpha"], 1).astype(dtype)
+        hbar = state.hbar * (1.0 - 1.0 / (i + T0)) + (DELTA - avg_alpha) / (i + T0)
+        le = state.mu - jnp.sqrt(i) / GAM * hbar
+        lebar = i ** (-KAPPA) * le + (1.0 - i ** (-KAPPA)) * state.lebar
+        new_eps = jnp.where(in_adapt, jnp.exp(le), jnp.exp(state.lebar))
+        new_hbar = jnp.where(in_adapt, hbar, state.hbar)
+        new_lebar = jnp.where(in_adapt, lebar, state.lebar)
+
+        info = {
+            "ppars": new_pars,
+            "plogtarget": new_lp,
+            "pgrads": new_grad,
+            "pars": state.pars,
+            "logtarget": state.logtarget,
+            "grads": state.grad,
+            "accept": jnp.any(new_pars != state.pars),
+            "epsilon": new_eps,
+            "ndoublings": out["j"],
+        }
+        return (
+            NUTSState(
+                pars=new_pars, logtarget=new_lp, grad=new_grad,
+                epsilon=new_eps, mu=state.mu, hbar=new_hbar, lebar=new_lebar,
+                i=state.i + 1,
+            ),
+            info,
+        )

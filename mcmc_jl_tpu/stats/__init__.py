@@ -1,0 +1,13 @@
+"""Output analysis layer (reference: src/stats/)."""
+from .mean import mean, mean_rb
+from .var import mcvar, mcse, var, std, mcvar_iid, mcvar_bm, mcvar_imse, mcvar_ipse
+from .ess import ess, actime
+from .summary import acceptance, describe
+from .zv import linear_zv, quadratic_zv, linearZv, quadraticZv
+
+__all__ = [
+    "mean", "mean_rb", "mcvar", "mcse", "var", "std",
+    "mcvar_iid", "mcvar_bm", "mcvar_imse", "mcvar_ipse",
+    "ess", "actime", "acceptance", "describe",
+    "linear_zv", "quadratic_zv", "linearZv", "quadraticZv",
+]
