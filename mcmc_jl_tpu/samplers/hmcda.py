@@ -66,10 +66,20 @@ class HMCDA(Sampler):
     len: float = 2.0
     shrinkage: float = 0.05
     t0: float = 10.0
-    step: float = 0.75
+    step_pow: float = 0.75  # the reference's `step` kwarg (t^-step schedule)
     store_leaps: bool = False  # accepted for API parity; trajectories not stored
 
     needs_gradient = True
+
+    def __init__(self, rate=0.65, len=2.0, shrinkage=0.05, t0=10.0, step=0.75,
+                 store_leaps=False, step_pow=None):
+        object.__setattr__(self, "rate", float(rate))
+        object.__setattr__(self, "len", float(len))
+        object.__setattr__(self, "shrinkage", float(shrinkage))
+        object.__setattr__(self, "t0", float(t0))
+        object.__setattr__(self, "step_pow", float(step if step_pow is None else step_pow))
+        object.__setattr__(self, "store_leaps", bool(store_leaps))
+        self.__post_init__()
 
     def __post_init__(self):
         assert 0.0 < self.rate < 1.0, "Target acceptance rate should be in (0, 1)"
@@ -127,7 +137,7 @@ class HMCDA(Sampler):
         eta = 1.0 / (i + self.t0)
         dual_h = (1.0 - eta) * state.dual_h + eta * (self.rate - p)
         eps_adapt = jnp.exp(state.mu - jnp.sqrt(i) * dual_h / self.shrinkage)
-        eta2 = i ** (-self.step)
+        eta2 = i ** (-self.step_pow)
         dual_eps = jnp.exp(
             (1.0 - eta2) * jnp.log(state.dual_leap_step) + eta2 * jnp.log(eps_adapt)
         )
