@@ -85,12 +85,11 @@ observe = tilde
 def call_with_trace(fn, kwargs):
     """Run ``fn(**kwargs)`` under a fresh accumulator; return total log-lik.
 
-    If the function also *returns* a value (reference models may end with an
-    expression), a scalar/array return is summed into the accumulator.
+    The function's return value is ignored: the model's value *is* the
+    accumulator (the reference extracts ``__acc.val``, modelparser.jl:48-51).
+    This also makes ``lambda x: tilde(x, D)`` safe — tilde returns ``x`` for
+    chaining, which must not be double-counted.
     """
     with trace() as tr:
-        ret = fn(**kwargs)
-    total = tr.value
-    if ret is not None:
-        total = total + jnp.sum(jnp.asarray(ret))
-    return total
+        fn(**kwargs)
+    return tr.value

@@ -107,19 +107,26 @@ class LogDensityModel:
 
     # -- parameter <-> named variables (reference expr_funcs.jl:39-91) -----
     def unravel(self, theta):
-        """Flat vector -> dict of named parameter arrays."""
+        """Flat vector -> dict of named parameter arrays (matrices stored
+        column-major, like Julia)."""
         out = {}
         for name, (off, shape) in self.pmap.items():
             n = int(np.prod(shape)) if len(shape) else 1
             sl = theta[off - 1 : off - 1 + n]
-            out[name] = sl[0] if len(shape) == 0 else sl.reshape(shape)
+            if len(shape) == 0:
+                out[name] = sl[0]
+            elif len(shape) == 1:
+                out[name] = sl.reshape(shape)
+            else:
+                out[name] = sl.reshape(shape, order="F")
         return out
 
     def ravel(self, values: dict):
         """Dict of named parameter arrays -> flat vector."""
         theta = jnp.zeros((self.size,), dtype=real_dtype())
         for name, (off, shape) in self.pmap.items():
-            v = jnp.asarray(values[name], dtype=theta.dtype).reshape(-1)
+            v = jnp.asarray(values[name], dtype=theta.dtype)
+            v = v.reshape(-1, order="F") if v.ndim == 2 else v.reshape(-1)
             theta = theta.at[off - 1 : off - 1 + v.size].set(v)
         return theta
 
@@ -311,14 +318,18 @@ def model(
     else:
         evalalldt = None
 
+    # jit every entry point: models are evaluated millions of times (eagerly
+    # from stats/tests, traced from samplers — jit-of-jit inlines cleanly)
+    jit_ = lambda f: None if f is None else jax.jit(f)  # noqa: E731
+
     mdl = LogDensityModel(
-        eval=eval_,
-        evalg=evalg,
-        evalt=evalt,
-        evaldt=evaldt,
-        evalallg=evalallg,
-        evalallt=evalallt,
-        evalalldt=evalalldt,
+        eval=jit_(eval_),
+        evalg=jit_(evalg),
+        evalt=jit_(evalt),
+        evaldt=jit_(evaldt),
+        evalallg=jit_(evalallg),
+        evalallt=jit_(evalallt),
+        evalalldt=jit_(evalalldt),
         pmap=pmap,
         size=size,
         init=init_vec,

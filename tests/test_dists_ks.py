@@ -1,0 +1,91 @@
+"""Statistical correctness: Kolmogorov-Smirnov gates for sampler x
+distribution pairs (reference: test/test_dists.jl).
+
+The reference tests {RWM, HMC, MALA, NUTS} x 13 distributions at N=10000 with
+the KS threshold loosened to 10 (test_dists.jl:12-15, nominal 5% critical
+value 1.358, with a TODO admitting samplers fail the strict gate).  We keep
+the same loose gate on the same grid; a representative subset runs by
+default and the full sweep is behind ``-m full``.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import mcmc_jl_tpu as mc
+
+N = 10000
+KSTHRESHOLD = 10  # loosened like the reference (test_dists.jl:13)
+
+
+def ks_value(x, cdf):
+    xs = np.sort(np.asarray(x))
+    y = cdf(xs)
+    dn = np.max(np.abs(np.arange(1, len(xs) + 1) / len(xs) - y))
+    return np.sqrt(len(xs)) * dn
+
+
+# (name, our dist ctor, scipy cdf, exact mean, exact std)
+DISTS = [
+    ("Normal(1,1)", lambda: mc.Normal(1, 1), st.norm(1, 1).cdf, 1.0, 1.0),
+    ("Normal(3,12)", lambda: mc.Normal(3, 12), st.norm(3, 12).cdf, 3.0, 12.0),
+    ("Weibull(1,1)", lambda: mc.Weibull(1, 1), st.weibull_min(1).cdf, 1.0, 1.0),
+    ("Weibull(3,1)", lambda: mc.Weibull(3, 1), st.weibull_min(3).cdf, 0.8930, 0.3245),
+    ("Uniform(0,2)", lambda: mc.Uniform(0, 2), st.uniform(0, 2).cdf, 1.0, 0.5774),
+    ("TDist(2.2)", lambda: mc.TDist(2.2), st.t(2.2).cdf, 0.0, 3.3166),
+    ("TDist(4)", lambda: mc.TDist(4), st.t(4).cdf, 0.0, 1.4142),
+    ("Beta(1,2)", lambda: mc.Beta(1, 2), st.beta(1, 2).cdf, 1 / 3, 0.2357),
+    ("Beta(3,2)", lambda: mc.Beta(3, 2), st.beta(3, 2).cdf, 0.6, 0.2),
+    ("Gamma(1,2)", lambda: mc.Gamma(1, 2), st.gamma(1, scale=2).cdf, 2.0, 2.0),
+    ("Gamma(3,0.2)", lambda: mc.Gamma(3, 0.2), st.gamma(3, scale=0.2).cdf, 0.6, 0.3464),
+    ("Cauchy(0,1)", lambda: mc.Cauchy(0, 1), st.cauchy(0, 1).cdf, 1.0, 1.0),
+    ("Cauchy(-1,0.2)", lambda: mc.Cauchy(-1, 0.2), st.cauchy(-1, 0.2).cdf, 1.0, 1.0),
+    ("Exponential(3)", lambda: mc.Exponential(3), st.expon(scale=3).cdf, 3.0, 3.0),
+    ("Exponential(0.2)", lambda: mc.Exponential(0.2), st.expon(scale=0.2).cdf, 0.2, 0.2),
+    ("LogNormal(-1,1)", lambda: mc.LogNormal(-1, 1), st.lognorm(1, scale=np.exp(-1)).cdf,
+     0.6065, 0.7943),
+    ("LogNormal(2,0.1)", lambda: mc.LogNormal(2, 0.1), st.lognorm(0.1, scale=np.exp(2)).cdf,
+     7.4262, 0.7444),
+    ("Laplace(-1,1)", lambda: mc.Laplace(-1, 1), st.laplace(-1, 1).cdf, -1.0, 1.4142),
+    ("Laplace(5,0.1)", lambda: mc.Laplace(5, 0.1), st.laplace(5, 0.1).cdf, 5.0, 0.1414),
+]
+
+SAMPLERS = {
+    "RWM": lambda sd: mc.RWM(sd),
+    "HMC": lambda sd: mc.HMC(2, sd / 5.0),
+    "MALA": lambda sd: mc.MALA(sd),
+    "NUTS": lambda sd: mc.NUTS(),
+}
+
+# default subset: one easy + one hard distribution per shape family
+CORE = ["Normal(1,1)", "Gamma(3,0.2)", "Beta(3,2)", "Exponential(3)",
+        "Laplace(-1,1)", "Uniform(0,2)"]
+
+
+def _run_ks(dist_name, mk, cdf, mean, sd):
+    def ex(x):
+        mc.tilde(x, mk())
+
+    m = mc.model(ex, gradient=True, x=mean, check_init=True)
+    for sname, mks in SAMPLERS.items():
+        s = mks(sd)
+        res = mc.run(m, s, mc.SerialMC(range(1000, N + 1)), seed=1)
+        ksv = ks_value(res.samples["x"], cdf)
+        assert ksv < KSTHRESHOLD, (
+            f"correct distrib hyp. rejected: {sname} on {dist_name}: KS={ksv:.2f}"
+        )
+
+
+@pytest.mark.parametrize("case", [d for d in DISTS if d[0] in CORE],
+                         ids=lambda c: c[0])
+def test_ks_core(case):
+    name, mk, cdf, mean, sd = case
+    _run_ks(name, mk, cdf, mean, sd)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize("case", [d for d in DISTS if d[0] not in CORE],
+                         ids=lambda c: c[0])
+def test_ks_full(case):
+    name, mk, cdf, mean, sd = case
+    _run_ks(name, mk, cdf, mean, sd)

@@ -1,0 +1,139 @@
+"""Output-analysis layer tests (reference: src/stats/, README.md:119-205)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_jl_tpu as mc
+from mcmc_jl_tpu.ops.acf import autocov
+from mcmc_jl_tpu.stats.var import mcvar_bm, mcvar_iid, mcvar_imse, mcvar_ipse
+
+
+def test_autocov_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(500)
+    acv = np.asarray(autocov(x, maxlag=20))
+    xc = x - x.mean()
+    for k in range(21):
+        want = np.dot(xc[: len(x) - k], xc[k:]) / len(x)
+        np.testing.assert_allclose(acv[k], want, rtol=1e-8, atol=1e-10)
+
+
+def test_mcvar_iid_on_white_noise():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((20000, 2))
+    v = mcvar_iid(x)
+    np.testing.assert_allclose(v, np.var(x, axis=0, ddof=1) / 20000, rtol=1e-12)
+    # white noise: imse ~ iid
+    vi = mcvar_imse(x)
+    assert np.all(vi / v < 1.5) and np.all(vi / v > 0.5)
+
+
+def test_mcvar_bm_requires_enough_batches():
+    with pytest.raises(AssertionError):
+        mcvar_bm(np.zeros((150, 1)), batchlen=100)
+
+
+def test_geyer_on_ar1():
+    """AR(1) with coefficient rho has asymptotic variance
+    sigma^2/n * (1+rho)/(1-rho); IMSE should land near it."""
+    rng = np.random.default_rng(2)
+    rho, n = 0.6, 200000
+    eps = rng.standard_normal(n)
+    x = np.empty(n)
+    x[0] = eps[0]
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + eps[i]
+    marg_var = 1.0 / (1.0 - rho**2)
+    want = marg_var * (1 + rho) / (1 - rho) / n
+    got = mcvar_imse(x[:, None])[0]
+    assert abs(got - want) / want < 0.1
+    got_ipse = mcvar_ipse(x[:, None])[0]
+    assert abs(got_ipse - want) / want < 0.1
+    # ess/actime identities
+    class FakeChain:  # minimal duck-type
+        pass
+
+    ess = n * mcvar_iid(x[:, None]) / got
+    act = got / mcvar_iid(x[:, None])
+    np.testing.assert_allclose(ess * act, n, rtol=1e-9)
+
+
+def _gaussian_chain(steps=12000, burnin=2000, leap_step=0.75, store_leaps=False):
+    m = mc.model(lambda v: -jnp.dot(v, v), grad=lambda v: -2 * v, init=jnp.ones(3))
+    return mc.run(
+        m * mc.HMC(leap_step, store_leaps) * mc.SerialMC(steps=steps, burnin=burnin)
+    )
+
+
+def test_readme_hmc_baseline():
+    """The README statistical baseline (BASELINE.md): HMC(0.75) on N(0, I/2)
+    -- acceptance ~80%, AC time ~1.7, ESS ~5.3k of 9k kept.
+
+    (The reference's -dot(v,v) target is N(0, I/2); same as README.)"""
+    chain = _gaussian_chain(steps=10000, burnin=1000)
+    acc = mc.acceptance(chain)
+    assert 70 < acc < 90, acc
+
+    e = mc.ess(chain)
+    act = mc.actime(chain)
+    assert e.shape == (3,)
+    # HMC(10 leaps, 0.75) on this target mixes fast: AC time close to ~1-2.5
+    assert np.all(act < 3.5) and np.all(act > 0.5), act
+    assert np.all(e > 2000), e
+
+    v_imse = mc.var(chain)
+    v_iid = mc.var(chain, vtype="iid")
+    v_ipse = mc.var(chain, vtype="ipse")
+    v_bm = mc.var(chain, vtype="bm")
+    for v in (v_imse, v_iid, v_ipse, v_bm):
+        assert v.shape == (3,) and np.all(v > 0)
+    # describe runs and prints all columns
+    import io
+
+    buf = io.StringIO()
+    mc.describe(chain, io=buf)
+    out = buf.getvalue()
+    for col in ("pars.1", "pars.2", "pars.3"):
+        assert col in out
+    assert "MC Error" in out and "ESS" in out and "AC Time" in out
+
+    # posterior moments within MC error: mean ~ 0, var ~ 0.5
+    x = chain.samples.values
+    se = np.sqrt(v_imse)
+    assert np.all(np.abs(x.mean(0)) < 5 * se + 0.05)
+    assert np.all(np.abs(x.var(0) - 0.5) < 0.05)
+
+
+def test_mean_rb_with_stored_leaps():
+    chain = _gaussian_chain(steps=3000, burnin=500, store_leaps=True)
+    assert "leaps_pars" in chain.diagnostics
+    rb = mc.mean_rb(chain)
+    plain = mc.mean(chain)
+    assert rb.shape == plain.shape
+    # both estimate the same mean (0); RB shouldn't be wildly off
+    assert np.all(np.abs(rb) < 0.2)
+
+
+def test_zv_variance_reduction():
+    """ZV control variates must reduce marginal variance on a Gaussian
+    (Mira et al. guarantee; reference stats/zv.jl)."""
+    chain = _gaussian_chain(steps=6000, burnin=1000)
+    z_lin, a = mc.linear_zv(chain)
+    assert z_lin.shape == chain.samples.shape
+    raw_var = chain.samples.values.var(0)
+    zv_var = z_lin.var(0)
+    assert np.all(zv_var < raw_var * 0.1), (raw_var, zv_var)
+
+    z_quad, aq = mc.quadratic_zv(chain)
+    assert np.all(z_quad.var(0) < raw_var * 0.1)
+    # reference-spelling aliases
+    assert mc.linearZv is mc.linear_zv and mc.quadraticZv is mc.quadratic_zv
+
+
+def test_acceptance_lags_and_reject():
+    chain = _gaussian_chain(steps=2000, burnin=500)
+    a = mc.acceptance(chain)
+    r = mc.acceptance(chain, reject=True)
+    np.testing.assert_allclose(a + r, 100.0)
+    a_first = mc.acceptance(chain, lags=range(1, 501))
+    assert 0 <= a_first <= 100
