@@ -50,19 +50,29 @@ def _shard_chains(tree, mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
-@partial(jax.jit, static_argnames=("sampler", "ctx", "nsteps", "thinning", "keep_every_info"))
+@partial(jax.jit, static_argnames=("sampler", "ctx", "nsteps", "thinning",
+                                   "keep_every_info", "pool_adaptation"))
 def _scan_chains(model, sampler, ctx, states, key, nsteps, thinning=1,
-                 keep_every_info=True):
+                 keep_every_info=True, pool_adaptation=False):
     """Advance a batch of chains ``nsteps`` steps; ys are the per-step infos.
 
     With ``thinning > 1`` the scan emits only every ``thinning``-th info
     (steps grouped in an inner ``fori_loop``), keeping output buffers small
-    for long thinned runs."""
+    for long thinned runs.  ``pool_adaptation=True`` all-reduces the adapted
+    step sizes across chains after every step (see
+    :mod:`mcmc_jl_tpu.parallel.collectives`)."""
+    from .collectives import pool_tuner_states
+
     n_chains = jax.tree_util.tree_leaves(states)[0].shape[0]
 
     def one_step(states, k):
         ks = jax.random.split(k, n_chains)
-        return jax.vmap(lambda s, kk: sampler.step(model, ctx, s, kk))(states, ks)
+        states, info = jax.vmap(lambda s, kk: sampler.step(model, ctx, s, kk))(
+            states, ks
+        )
+        if pool_adaptation:
+            states = pool_tuner_states(states)
+        return states, info
 
     if thinning == 1:
         keys = jax.random.split(key, nsteps)
@@ -108,7 +118,7 @@ def init_chains(model, sampler, n_chains, key, inits=None, jitter=0.0,
 
 def run_chains(model, sampler, runner, n_chains, key=None, seed: int = 0,
                inits=None, jitter: float = 0.0, mesh=None, states=None,
-               thin_on_device: bool = False):
+               thin_on_device: bool = False, pool_adaptation: bool = False):
     """Run ``n_chains`` identical chains; returns (infos, final_states, key).
 
     ``infos`` arrays have shape (kept_steps, n_chains, ...) and stay on
@@ -123,7 +133,8 @@ def run_chains(model, sampler, runner, n_chains, key=None, seed: int = 0,
     ctx = RunCtx(burnin=runner.burnin)
     thinning = runner.thinning if thin_on_device else 1
     final_states, infos = _scan_chains(
-        model, sampler, ctx, states, k_run, runner.len, thinning=thinning
+        model, sampler, ctx, states, k_run, runner.len, thinning=thinning,
+        pool_adaptation=pool_adaptation,
     )
     return infos, final_states, key
 
