@@ -4,83 +4,122 @@ benchmarks/benchunits/binomial.jl, 10 params x 1000 obs).
 
 Baseline (BASELINE.md): the reference evaluates loglik+gradient in 0.748 ms
 => ~1337 leapfrog steps/s on 2013-era CPU.  The TPU build's north star is
->=1e6 leapfrog/s/chip.  Here thousands of chains are vmapped into one
-lax.scan so every leapfrog is a batched (C,d)x(d,N) matmul pair on the MXU.
+>=1e6 leapfrog/s/chip.
+
+On TPU this runs the Pallas fused-trajectory kernel
+(mcmc_jl_tpu/ops/pallas_glm.py): 8192 chains, whole 10-leapfrog trajectories
+in VMEM, matmuls on the MXU, diagnostics reduced on device.  Off-TPU it
+falls back to the generic vmapped lax.scan path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
 REFERENCE_LEAPFROG_RATE = 1.0 / 0.748e-3  # ≈1337/s (BASELINE.md, binomial.jl:24)
 
 
-def main():
-    import jax
+def _data(n=1000, nbeta=10, dtype=None):
     import jax.numpy as jnp
 
-    # persistent compile cache (TPU remote-compiles are expensive)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    import mcmc_jl_tpu as mc
-    from mcmc_jl_tpu.parallel import run_chains
-
-    platform = jax.devices()[0].platform
-    on_tpu = platform not in ("cpu",)
-
-    # --- the reference's logistic model (examples/logistic_regression.jl) --
-    n, nbeta = 1000, 10
     rng = np.random.default_rng(1)
     Xh = np.column_stack([np.ones(n), rng.standard_normal((n, nbeta - 1))])
     beta0 = rng.standard_normal(nbeta)
     Yh = (rng.random(n) < 1.0 / (1.0 + np.exp(-Xh @ beta0))).astype(np.float64)
+    return Xh, Yh
+
+
+def _bench_tpu(X, Y):
+    """Fused Pallas path; on-device output reduction (samples/diagnostics
+    stay on chip; only summary scalars cross the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcmc_jl_tpu.ops.glm_hmc import _run
+    from mcmc_jl_tpu.ops.pallas_glm import pad_chains, pad_design
+
+    nbeta = X.shape[1]
+    XT, Y2, d_pad = pad_design(X, Y)
+    C, steps, n_leaps, blk = 8192, 2000, 10, 512
+
+    @partial(jax.jit, static_argnames=())
+    def go(key):
+        k_init, k_run = jax.random.split(key)
+        th0 = pad_chains(
+            0.1 * jax.random.normal(k_init, (C, nbeta), dtype=jnp.float32), d_pad
+        )
+        theta, infos = _run(XT, Y2, th0, jnp.float32(0.05), k_run, steps=steps,
+                            n_leaps=n_leaps, block_chains=blk, interpret=False)
+        return (jnp.mean(theta, axis=0), jnp.mean(infos["accept"]),
+                jnp.mean(infos["plogtarget"][-1]))
+
+    out = go(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    ts = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = go(jax.random.PRNGKey(rep + 1))
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    acc = float(out[1])
+    lp = float(out[2])
+    assert np.isfinite(lp), "non-finite log-target in bench run"
+    assert acc > 0.05, f"acceptance collapsed: {acc}"
+    return C * steps * n_leaps / dt
+
+
+def _bench_generic(X, Y):
+    import jax
+    import jax.numpy as jnp
+
+    import mcmc_jl_tpu as mc
+    from mcmc_jl_tpu.parallel import run_chains
+
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    X = jnp.asarray(Xh, dtype=dtype)
-    Y = jnp.asarray(Yh, dtype=dtype)
+    Xd = jnp.asarray(X, dtype=dtype)
+    Yd = jnp.asarray(Y, dtype=dtype)
+    nbeta = X.shape[1]
 
     def logp(theta):
-        # vars ~ Normal(0,1); Y ~ Bernoulli(sigmoid(X @ vars))
-        logits = X @ theta
-        ll = jnp.dot(Y, logits) - jnp.sum(jnp.logaddexp(0.0, logits))
-        prior = -0.5 * jnp.dot(theta, theta) - 0.5 * nbeta * np.log(2 * np.pi)
-        return ll + prior
+        logits = Xd @ theta
+        return (jnp.dot(Yd, logits) - jnp.sum(jnp.logaddexp(0.0, logits))
+                - 0.5 * jnp.dot(theta, theta))
 
     model = mc.model(logp, gradient=True, init=jnp.zeros(nbeta, dtype=dtype),
                      check_init=False)
-
-    n_leaps = 10
-    sampler = mc.HMC(n_leaps, 0.05)
-    n_chains = 2048 if on_tpu else 64
-    steps = 100 if on_tpu else 20
+    n_leaps, n_chains, steps = 10, 64, 50
     runner = mc.SerialMC(steps=steps)
-
-    # warm-up (compile)
-    infos, states, _ = run_chains(model, sampler, runner, n_chains, seed=0,
-                                  jitter=0.1)
+    sampler = mc.HMC(n_leaps, 0.05)
+    infos, _, _ = run_chains(model, sampler, runner, n_chains, seed=0, jitter=0.1)
     jax.block_until_ready(infos["plogtarget"])
-
-    # timed runs (steady state)
-    best = np.inf
+    ts = []
     for rep in range(3):
         t0 = time.perf_counter()
-        infos, states, _ = run_chains(model, sampler, runner, n_chains,
-                                      seed=rep + 1, jitter=0.1)
+        infos, _, _ = run_chains(model, sampler, runner, n_chains, seed=rep + 1,
+                                 jitter=0.1)
         jax.block_until_ready(infos["plogtarget"])
-        best = min(best, time.perf_counter() - t0)
-
-    leapfrogs = n_chains * steps * n_leaps
-    rate = leapfrogs / best
-
-    # sanity: chains must actually be sampling (finite logp, some accepts)
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
     acc = float(np.mean(np.asarray(infos["accept"])))
-    lp = np.asarray(infos["plogtarget"])
-    assert np.all(np.isfinite(lp)), "non-finite log-targets in bench run"
     assert acc > 0.05, f"acceptance collapsed: {acc}"
+    return n_chains * steps * n_leaps / dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    X, Y = _data()
+    rate = _bench_tpu(X, Y) if on_tpu else _bench_generic(X, Y)
 
     print(json.dumps({
         "metric": "hmc_leapfrog_steps_per_sec_per_chip_logistic_1000x10",

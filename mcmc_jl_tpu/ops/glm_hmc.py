@@ -1,0 +1,84 @@
+"""Fused-kernel HMC driver for GLM posteriors.
+
+Couples the Pallas trajectory kernel (:mod:`.pallas_glm`) with the
+Metropolis accept/refresh logic in plain XLA: per outer step, momenta are
+refreshed, the whole ``n_leaps`` trajectory runs inside one kernel launch,
+and the accept test is a (C,)-vector op.  This is the speed-of-light path
+for the benchmark workload; statistically identical to
+``HMC(n_leaps, eps)`` on the same model (same leapfrog, same accept rule —
+reference HMC.jl:136-165).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_glm import glm_hmc_leapfrogs, pad_chains, pad_design
+
+
+@partial(jax.jit, static_argnames=("steps", "n_leaps", "block_chains",
+                                   "interpret", "mxu_dtype"))
+def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
+         mxu_dtype=jnp.float32):
+    C, d_pad = theta0.shape
+
+    def logp_grad(theta):
+        logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
+        p = jax.nn.sigmoid(logits)
+        g = jnp.dot(Y - p, XT.T, preferred_element_type=jnp.float32) - theta
+        lp = (
+            jnp.sum(logits * Y, axis=1)
+            - jnp.sum(jax.nn.softplus(logits), axis=1)
+            - 0.5 * jnp.sum(theta * theta, axis=1)
+        )
+        return lp, g
+
+    lp0, g0 = logp_grad(theta0)
+
+    def step(carry, k):
+        theta, lp, g = carry
+        k_mom, k_acc = jax.random.split(k)
+        m0 = jax.random.normal(k_mom, theta.shape, dtype=theta.dtype)
+        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
+        p_theta, p_m, p_g, p_lp = glm_hmc_leapfrogs(
+            XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
+            block_chains=block_chains, interpret=interpret,
+            mxu_dtype=mxu_dtype,
+        )
+        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
+        ratio = H0 - H
+        u = jnp.log(jax.random.uniform(k_acc, (C,), dtype=theta.dtype))
+        accept = jnp.where(jnp.isnan(ratio), False, (ratio > 0) | (ratio > u))
+        a = accept[:, None]
+        theta = jnp.where(a, p_theta, theta)
+        g = jnp.where(a, p_g, g)
+        lp = jnp.where(accept, p_lp, lp)
+        return (theta, lp, g), {"plogtarget": lp, "accept": accept}
+
+    keys = jax.random.split(key, steps)
+    (theta, lp, g), infos = jax.lax.scan(step, (theta0, lp0, g0), keys)
+    return theta, infos
+
+
+def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
+                key=None, inits=None, block_chains=256, interpret=False,
+                mxu_dtype=jnp.float32):
+    """Sample the logistic posterior with the fused Pallas HMC path.
+
+    Returns (theta (C, d), infos {plogtarget, accept} stacked over steps).
+    """
+    XT, Y2, d_pad = pad_design(X, Y)
+    d = X.shape[1]
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    if inits is None:
+        inits = 0.1 * jax.random.normal(k_init, (n_chains, d), dtype=jnp.float32)
+    theta0 = pad_chains(jnp.asarray(inits, dtype=jnp.float32), d_pad)
+    block = min(block_chains, n_chains)
+    theta, infos = _run(XT, Y2, theta0, jnp.float32(eps), k_run, steps=steps,
+                        n_leaps=n_leaps, block_chains=block,
+                        interpret=interpret, mxu_dtype=mxu_dtype)
+    return theta[:, :d], infos
