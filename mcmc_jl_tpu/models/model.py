@@ -208,6 +208,7 @@ def model(
     gradient: bool = False,
     mtype: str = "likelihood",
     check_init: bool = True,
+    debug: bool = False,
     **params,
 ) -> LogDensityModel:
     """The model factory — front door of the framework.
@@ -226,6 +227,11 @@ def model(
 
     ``tensor=True`` / ``dtensor=True`` request autodiff-derived higher
     derivatives (negative Hessian of the log-target and its jacobian).
+
+    ``debug=True`` returns the traced jaxpr of the log-target instead of a
+    model — the analog of the reference's ``generateModelFunction(...,
+    debug=true)`` which returns the generated expression
+    (modelparser.jl:103).
     """
     if mtype != "likelihood":
         raise ValueError(f"unsupported model type {mtype!r}")
@@ -254,6 +260,9 @@ def model(
         raw_eval = f
 
     assert _ispartition(pmap, size), "param map is not a partition of parameter vector"
+
+    if debug:
+        return jax.make_jaxpr(raw_eval)(jnp.zeros((size,), dtype=dtype))
 
     scale_vec = jnp.broadcast_to(jnp.asarray(scale, dtype=dtype), (size,))
 
