@@ -21,10 +21,12 @@ def make_data(seed=3, n=39, path=None):
         raw = np.loadtxt(path)
         covariates, y = raw[:, :-1], raw[:, -1]
     else:
+        from scipy.special import ndtr
+
         rng = np.random.default_rng(seed)
         covariates = rng.standard_normal((n, 2)) * [1.0, 1.0] + [1.3, 1.7]
         z = 0.8 * covariates[:, 0] - 0.5 * covariates[:, 1] + 0.3
-        y = (rng.random(n) < 0.5 * (1 + np.vectorize(np.math.erf)(z / np.sqrt(2)))).astype(float)
+        y = (rng.random(n) < ndtr(z)).astype(float)
     nsamples, npars = covariates.shape
     covariates = (covariates - covariates.mean(0)) / covariates.std(0, ddof=1)
     X = np.column_stack([np.ones(nsamples), covariates])

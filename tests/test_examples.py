@@ -1,0 +1,126 @@
+"""The reference's example workloads (SURVEY §2.6), scaled for CI, with
+posterior-moment gates.
+
+Linear regression has a closed-form posterior (Gaussian prior + Gaussian
+likelihood => ridge posterior), giving an exact oracle: sampled moments must
+match N((X'X+I)^-1 X'Y, (X'X+I)^-1) within Monte-Carlo error — the
+BASELINE.md "posteriors within MC error" criterion."""
+import sys
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_jl_tpu as mc
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "examples"))
+
+
+def test_linear_regression_posterior_matches_analytic():
+    rng = np.random.default_rng(1)
+    n, nbeta = 200, 5
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, nbeta - 1))])
+    beta0 = rng.standard_normal(nbeta)
+    Y = X @ beta0 + rng.standard_normal(n)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def ex(vars):
+        mc.tilde(vars, mc.Normal(0.0, 1.0))
+        mc.tilde(Yj - Xj @ vars, mc.Normal(0.0, 1.0))
+
+    m = mc.model(ex, vars=np.zeros(nbeta), gradient=True)
+
+    # analytic ridge posterior
+    P = X.T @ X + np.eye(nbeta)
+    cov = np.linalg.inv(P)
+    mean = cov @ (X.T @ Y)
+
+    chain = mc.run(m * mc.HMC(10, 0.05) * mc.SerialMC(range(500, 8001)), seed=0)
+    mc_mean = mc.mean(chain)
+    mcse = np.sqrt(mc.var(chain))
+    # |z| <= 5 MC-stderr per coordinate (test_ss.jl-style gate)
+    z = np.abs(mc_mean - mean) / np.maximum(mcse, 1e-12)
+    assert np.all(z < 5), (z, mc_mean, mean)
+    # marginal posterior sd within 15%
+    sd = chain.samples.values.std(axis=0, ddof=1)
+    np.testing.assert_allclose(sd, np.sqrt(np.diag(cov)), rtol=0.15)
+
+    # RAM reaches the same posterior
+    chain2 = mc.run(m * mc.RAM(1.0, 0.3) * mc.SerialMC(range(2000, 20001, 2)),
+                    seed=1)
+    z2 = np.abs(mc.mean(chain2) - mean) / np.maximum(np.sqrt(mc.var(chain2)), 1e-12)
+    assert np.all(z2 < 6), z2
+
+
+def test_logistic_regression_example():
+    import logistic_regression as lre
+
+    X, Y, beta0 = lre.make_data(n=300, nbeta=6)
+    m = lre.make_model(X, Y, nbeta=6)
+    c_hmc = mc.run(m * mc.HMC(5, 0.1) * mc.SerialMC(range(500, 4001)), seed=0)
+    c_nuts = mc.run(m * mc.NUTS() * mc.SerialMC(range(500, 4001)), seed=1)
+    assert mc.acceptance(c_hmc) > 40
+    # the two samplers agree on the posterior mean within MC error
+    se = np.sqrt(mc.var(c_hmc)) + np.sqrt(mc.var(c_nuts))
+    diff = np.abs(mc.mean(c_hmc) - mc.mean(c_nuts))
+    assert np.all(diff < 6 * se + 0.05), (diff, se)
+    # and correlate strongly with the generating coefficients
+    assert np.corrcoef(mc.mean(c_hmc), beta0)[0, 1] > 0.9
+
+
+def test_ornstein_example():
+    import ornstein as orn
+
+    x = orn.make_series(duration=400)
+    m = orn.make_model(x)
+    chain = mc.run(m * mc.RAM() * mc.SerialMC(range(1000, 6001)), seed=0)
+    est = mc.mean(chain)  # tau, sigma, mu
+    # generating values: tau0=20, sigma0=0.1, mu0=10 (short series -> loose)
+    assert 2 < est[0] < 100, est
+    assert 0.05 < est[1] < 0.3, est
+    assert 8 < est[2] < 12, est
+    # NUTS runs on it too
+    c2 = mc.run(m * mc.NUTS() * mc.SerialMC(range(200, 601)), seed=1)
+    assert "ndoublings" in c2.diagnostics
+
+
+def test_probit_example_manifold_samplers():
+    import probit_regression as pr
+
+    X, y = pr.make_data(n=60)
+    m = pr.make_model(X, y)
+    assert m.hasgradient and m.hastensor and m.hasdtensor
+
+    c_rwm = mc.run(m * mc.RWM(0.5) * mc.SerialMC(range(500, 3001)), seed=0)
+    c_smm = mc.run(m * mc.SMMALA(0.5) * mc.SerialMC(range(500, 3001)), seed=1)
+    c_pml = mc.run(m * mc.PMALA(0.5) * mc.SerialMC(range(500, 3001)), seed=2)
+    assert mc.acceptance(c_smm) > 20
+    # manifold samplers agree with RWM on the posterior mean
+    for c in (c_smm, c_pml):
+        se = np.sqrt(mc.var(c_rwm)) + np.sqrt(mc.var(c))
+        diff = np.abs(mc.mean(c_rwm) - mc.mean(c))
+        assert np.all(diff < 8 * se + 0.1), (diff, se)
+
+    # RMHMC with tuner (the example's config, scaled down)
+    c_rm = mc.run(m * mc.RMHMC(3, 0.5, mc.EmpMCTuner(0.8)) *
+                  mc.SerialMC(range(200, 1201)), seed=3)
+    assert np.all(np.isfinite(c_rm.samples.values))
+
+
+def test_fd_gradient_of_probit_analytic_derivatives():
+    """The probit example supplies analytic grad/tensor/dtensor
+    (reference probit_regression.jl:36-67); check grad vs jax.grad."""
+    import jax
+    import probit_regression as pr
+
+    X, y = pr.make_data(n=40)
+    m = pr.make_model(X, y)
+    theta = jnp.asarray(np.random.default_rng(0).standard_normal(m.size) * 0.3)
+    lp, g_analytic = m.evalallg(theta)
+    g_auto = jax.grad(m.eval)(theta)
+    np.testing.assert_allclose(np.asarray(g_analytic), np.asarray(g_auto),
+                               rtol=1e-6, atol=1e-8)
+    # tensor is SPD at moderate theta
+    G = np.asarray(m.evalt(theta))
+    assert np.all(np.linalg.eigvalsh(G) > 0)
