@@ -19,18 +19,19 @@ from .pallas_glm import glm_hmc_leapfrogs, pad_chains, pad_design
 
 
 @partial(jax.jit, static_argnames=("steps", "n_leaps", "block_chains",
-                                   "interpret", "mxu_dtype"))
+                                   "interpret", "mxu_dtype", "kind"))
 def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
-         mxu_dtype=jnp.float32):
+         mxu_dtype=jnp.float32, kind="logistic"):
     C, d_pad = theta0.shape
+    from .pallas_glm import link_terms
+    ll_fn, resid_fn = link_terms(kind)
 
     def logp_grad(theta):
         logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
-        p = jax.nn.sigmoid(logits)
-        g = jnp.dot(Y - p, XT.T, preferred_element_type=jnp.float32) - theta
+        r = resid_fn(logits, Y)
+        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - theta
         lp = (
-            jnp.sum(logits * Y, axis=1)
-            - jnp.sum(jax.nn.softplus(logits), axis=1)
+            jnp.sum(ll_fn(logits, Y), axis=1)
             - 0.5 * jnp.sum(theta * theta, axis=1)
         )
         return lp, g
@@ -45,7 +46,7 @@ def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
         p_theta, p_m, p_g, p_lp = glm_hmc_leapfrogs(
             XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
             block_chains=block_chains, interpret=interpret,
-            mxu_dtype=mxu_dtype,
+            mxu_dtype=mxu_dtype, kind=kind,
         )
         H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
         ratio = H0 - H
@@ -64,7 +65,7 @@ def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
 
 def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
                 key=None, inits=None, block_chains=256, interpret=False,
-                mxu_dtype=jnp.float32):
+                mxu_dtype=jnp.float32, kind="logistic"):
     """Sample the logistic posterior with the fused Pallas HMC path.
 
     Returns (theta (C, d), infos {plogtarget, accept} stacked over steps).
@@ -80,5 +81,5 @@ def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
     block = min(block_chains, n_chains)
     theta, infos = _run(XT, Y2, theta0, jnp.float32(eps), k_run, steps=steps,
                         n_leaps=n_leaps, block_chains=block,
-                        interpret=interpret, mxu_dtype=mxu_dtype)
+                        interpret=interpret, mxu_dtype=mxu_dtype, kind=kind)
     return theta[:, :d], infos

@@ -34,26 +34,62 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def link_terms(kind):
+    """Per-observation log-lik and residual factor for supported GLM links.
+
+    ``ll(z, y)`` is the elementwise log-likelihood of linear predictor z;
+    ``resid(z, y)`` is r such that d loglik / d theta = r @ X.
+    """
+    if kind == "logistic":
+        return (
+            lambda z, y: z * y - jax.nn.softplus(z),
+            lambda z, y: y - jax.nn.sigmoid(z),
+        )
+    if kind == "linear":  # unit-variance Gaussian residuals
+        return (
+            lambda z, y: -0.5 * (y - z) * (y - z),
+            lambda z, y: y - z,
+        )
+    if kind == "probit":
+        def _ll(z, y):
+            return y * jsp_log_ndtr(z) + (1.0 - y) * jsp_log_ndtr(-z)
+
+        def _resid(z, y):
+            log_phi = -0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi)
+            w_pos = jnp.exp(log_phi - jsp_log_ndtr(z))
+            w_neg = jnp.exp(log_phi - jsp_log_ndtr(-z))
+            return y * w_pos - (1.0 - y) * w_neg
+
+        return _ll, _resid
+    raise ValueError(f"unknown GLM link {kind!r}")
+
+
+def jsp_log_ndtr(z):
+    from jax.scipy import special as jsp
+
+    return jsp.log_ndtr(z)
+
+
 def _kernel(eps_ref, xt_ref, y_ref, theta_ref, m_ref, grad_ref,
-            theta_out, m_out, grad_out, lp_out, *, n_leaps, mxu_dtype):
+            theta_out, m_out, grad_out, lp_out, *, n_leaps, mxu_dtype, kind):
     """One HMC trajectory (n_leaps leapfrogs) for a block of chains."""
     eps = eps_ref[0, 0]
     xt = xt_ref[:].astype(mxu_dtype)   # (d_pad, N)
     xtt = xt_ref[:].T.astype(mxu_dtype)
     y = y_ref[:]              # (1, N)
+    ll_fn, resid_fn = link_terms(kind)
 
     def logp_grad(theta):
         # matmuls feed the MXU in mxu_dtype (bf16 doubles throughput on the
         # systolic array); accumulation stays f32
         logits = jnp.dot(theta.astype(mxu_dtype), xt,
                          preferred_element_type=jnp.float32)  # (C, N)
-        p = jax.nn.sigmoid(logits)
-        # grad = (Y - p) @ X - theta ; X = xt.T
-        g = jnp.dot((y - p).astype(mxu_dtype), xtt,
+        r = resid_fn(logits, y)
+        # grad = r @ X - theta ; X = xt.T
+        g = jnp.dot(r.astype(mxu_dtype), xtt,
                     preferred_element_type=jnp.float32) - theta
         lp = (
-            jnp.sum(logits * y, axis=1, keepdims=True)
-            - jnp.sum(jax.nn.softplus(logits), axis=1, keepdims=True)
+            jnp.sum(ll_fn(logits, y), axis=1, keepdims=True)
             - 0.5 * jnp.sum(theta * theta, axis=1, keepdims=True)
         )
         return lp, g
@@ -79,11 +115,12 @@ def _kernel(eps_ref, xt_ref, y_ref, theta_ref, m_ref, grad_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype"),
+    static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
+                     "kind"),
 )
 def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
                       block_chains=256, interpret=False,
-                      mxu_dtype=jnp.float32):
+                      mxu_dtype=jnp.float32, kind="logistic"):
     """Run ``n_leaps`` fused leapfrogs for all chains.
 
     Args:
@@ -107,7 +144,8 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype),
+        functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
+                          kind=kind),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

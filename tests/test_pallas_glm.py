@@ -109,3 +109,57 @@ def test_fused_sampler_posterior_matches_generic():
 def infos_to_samples(infos, theta_final):
     # we only kept plogtarget per step in infos; use final thetas across chains
     return theta_final
+
+
+@pytest.mark.parametrize("kind", ["linear", "probit"])
+def test_other_links_match_autodiff(kind):
+    """linear/probit link kernels agree with jax.grad of the same logp."""
+    rng = np.random.default_rng(5)
+    n, d = 48, 5
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, d - 1))]).astype(np.float32)
+    if kind == "linear":
+        Y = (X @ rng.standard_normal(d) + rng.standard_normal(n)).astype(np.float32)
+    else:
+        Y = (rng.random(n) < 0.5).astype(np.float32)
+
+    from mcmc_jl_tpu.ops.pallas_glm import link_terms
+
+    ll_fn, resid_fn = link_terms(kind)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def logp(th):
+        z = Xj @ th
+        return jnp.sum(ll_fn(z, Yj)) - 0.5 * th @ th
+
+    theta = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.2)
+    lp, g_auto = jax.value_and_grad(logp)(theta)
+    # kernel gradient via one zero-step trajectory (n_leaps=0 not allowed;
+    # call kernel pieces directly)
+    XT, Y2, d_pad = pad_design(X, Y)
+    th_p = pad_chains(theta[None, :], d_pad)
+    g_seed = jnp.zeros_like(th_p)
+    m0 = jnp.zeros_like(th_p)
+    # eps=0 trajectory: positions unchanged; kernel recomputes lp/grad at end
+    th1, m1, g1, lp1 = glm_hmc_leapfrogs(
+        XT, Y2, th_p, m0, g_seed, 0.0, n_leaps=1, block_chains=1,
+        interpret=True, kind=kind,
+    )
+    np.testing.assert_allclose(float(lp1[0]), float(lp), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[0, :d]), np.asarray(g_auto),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_linear_link_posterior_matches_ridge():
+    """Fused linear-link HMC recovers the analytic ridge posterior."""
+    rng = np.random.default_rng(7)
+    n, d = 120, 4
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, d - 1))]).astype(np.float32)
+    beta = rng.standard_normal(d)
+    Y = (X @ beta + rng.standard_normal(n)).astype(np.float32)
+
+    theta, infos = run_glm_hmc(X, Y, n_chains=64, steps=400, n_leaps=5,
+                               eps=0.05, seed=0, interpret=True, kind="linear")
+    P = X.T @ X + np.eye(d)
+    mean = np.linalg.solve(P, X.T @ Y)
+    est = np.asarray(theta).mean(0)
+    np.testing.assert_allclose(est, mean, atol=0.2)
