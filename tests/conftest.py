@@ -25,7 +25,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the suite re-jits many (sampler, model) pairs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# CPU-only cache dir: the TPU remote-compile helper writes CPU AOT entries
+# with a different machine-feature set into the shared dir
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
