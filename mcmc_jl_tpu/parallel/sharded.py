@@ -57,14 +57,26 @@ def sharded_glm_model(loglik_shard, prior, size, init, scale=1.0):
     """
 
     def make(*shards):
+        # NOTE: inside shard_map, theta is a per-device (replicated) value,
+        # so jax.grad of a psum'd sum gives only the LOCAL shard's gradient
+        # contribution — the gradient must be psum'd explicitly as well.
+        def loglik_local(theta):
+            return loglik_shard(theta, *shards)
+
+        vag_local = jax.value_and_grad(loglik_local)
+        vag_prior = jax.value_and_grad(prior)
+
         def logp(theta):
-            ll = jax.lax.psum(loglik_shard(theta, *shards), DATA_AXIS)
+            ll = jax.lax.psum(loglik_local(theta), DATA_AXIS)
             return ll + prior(theta)
 
-        vag = jax.value_and_grad(logp)
-
         def evalallg(theta):
-            lp, g = vag(theta)
+            ll, gl = vag_local(theta)
+            ll = jax.lax.psum(ll, DATA_AXIS)
+            gl = jax.lax.psum(gl, DATA_AXIS)
+            pl, gp = vag_prior(theta)
+            lp = ll + pl
+            g = gl + gp
             lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
             g = jnp.where(jnp.isfinite(lp), jnp.nan_to_num(g), 0.0)
             return lp, g

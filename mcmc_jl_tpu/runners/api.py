@@ -24,12 +24,22 @@ def _as_task(x, *rest):
     return x
 
 
-def run(x, *rest, seed: int = 0, **kwargs):
-    """Run a task / array of tasks / (model, sampler, runner) triple."""
+def run(x, *rest, seed: int = 0, chains: Optional[int] = None, **kwargs):
+    """Run a task / array of tasks / (model, sampler, runner) triple.
+
+    ``chains=N`` runs N identical chains as one vmapped (optionally
+    mesh-sharded) batch and returns a list of N chains — sugar over
+    :func:`prun` (the reference would need ``m * [s]*N * r`` + prun).
+    """
     t = _as_task(x, *rest)
 
     if isinstance(t, _Partial):
         raise TypeError("missing runner: use model * sampler * runner")
+
+    if chains is not None:
+        assert isinstance(t, MCMCTask), "chains= requires a single task"
+        tasks = [MCMCTask(t.model, t.sampler, t.runner) for _ in range(chains)]
+        return prun(tasks, seed=seed, **kwargs)
 
     if isinstance(t, MCMCChain):  # chain continuation alternate (runners.jl:14)
         return run(t.task, seed=seed, **kwargs)
