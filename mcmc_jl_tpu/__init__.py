@@ -35,7 +35,7 @@ from .runners.serialtempmc import SerialTempMC
 from .runners.api import run, resume, prun
 from .stats import (
     mean, mean_rb, mcvar, mcse, var, std, ess, actime, acceptance, describe,
-    linear_zv, quadratic_zv, linearZv, quadraticZv,
+    wsample, linear_zv, quadratic_zv, linearZv, quadraticZv,
 )
 
 # legacy alias matching the reference's MCMCLikModel typealias (likmodel.jl:69)
@@ -55,6 +55,6 @@ __all__ = [
     "SerialMC", "SeqMC", "SerialTempMC",
     "run", "resume", "prun",
     "mean", "mean_rb", "mcvar", "mcse", "var", "std", "ess", "actime",
-    "acceptance", "describe", "linear_zv", "quadratic_zv", "linearZv",
+    "acceptance", "describe", "wsample", "linear_zv", "quadratic_zv", "linearZv",
     "quadraticZv",
 ]

@@ -2,12 +2,12 @@
 from .mean import mean, mean_rb
 from .var import mcvar, mcse, var, std, mcvar_iid, mcvar_bm, mcvar_imse, mcvar_ipse
 from .ess import ess, actime
-from .summary import acceptance, describe
+from .summary import acceptance, describe, wsample
 from .zv import linear_zv, quadratic_zv, linearZv, quadraticZv
 
 __all__ = [
     "mean", "mean_rb", "mcvar", "mcse", "var", "std",
     "mcvar_iid", "mcvar_bm", "mcvar_imse", "mcvar_ipse",
-    "ess", "actime", "acceptance", "describe",
+    "ess", "actime", "acceptance", "describe", "wsample",
     "linear_zv", "quadratic_zv", "linearZv", "quadraticZv",
 ]

@@ -58,3 +58,15 @@ def describe(c: MCMCChain, io=None):
         print(f"NAs        {nas}", file=io)
         print(f"NA%        {round(nas * 100 / len(col), 2)}%", file=io)
         print(file=io)
+
+
+def wsample(values, weights, n, seed=0):
+    """Weighted resample with replacement (the reference README's
+    ``wsample(chain.samples["x"], chain.diagnostics["weigths"], 1000)``
+    post-processing of SeqMC output, README.md:272)."""
+    rng = np.random.default_rng(seed)
+    values = np.asarray(values)
+    w = np.asarray(weights, dtype=np.float64)
+    p = w / w.sum()
+    idx = rng.choice(len(values), size=n, replace=True, p=p)
+    return values[idx]
