@@ -3,13 +3,13 @@ Jasra, Stephens & Holmes).
 
 The reference mutates one live coroutine per target, resetting it to each
 particle in turn — npart x ntargets x steps coroutine switches
-(SeqMC.jl:62-72).  Here particles are the *leading batch axis*: per target,
-``vmap`` of the sampler kernel advances all particles in one device launch
-(SURVEY §3.4 — "reset" is just writing the batched state's ``pars``), and
-multinomial resampling runs on device.  Importance weights follow
-SeqMC.jl:70: ``logW[n] += ll0 - logtarget_prev[n]``, with resampling when
-``var(exp(logW)) < trigger`` (SeqMC.jl:76-88; the reference's variance
-trigger is kept, an ESS-threshold criterion is available via ``ess_trigger``).
+(SeqMC.jl:62-72).  Here particles are the *leading batch axis* and the whole
+run is ONE compiled ``lax.scan`` over steps: per step the (static) target
+ladder is unrolled, every particle advances under ``vmap`` (SURVEY §3.4 —
+"reset" is just writing the batched state's ``pars``), importance weights
+update per SeqMC.jl:70, and multinomial resampling happens on device when
+``var(exp(logW)) < trigger`` (SeqMC.jl:76-88; an ESS-fraction criterion is
+available via ``ess_trigger``).
 """
 from __future__ import annotations
 
@@ -47,28 +47,20 @@ class SeqMC:
         return product(other, self)
 
 
-@partial(jax.jit, static_argnames=("sampler", "ctx"))
-def _seqmc_target_step(model, sampler, ctx, states, pars, logW, logtarget, key):
-    """Advance every particle one step under one target; update weights and
-    resample on device if triggered."""
+def _target_step(model, sampler, ctx, states, pars, logW, logtarget, key):
+    """Advance every particle one step under one target (SeqMC.jl:66-72)."""
     npart = pars.shape[0]
-
     # "reset" each particle task to its particle value (SeqMC.jl:67)
     states = jax.vmap(lambda s, th: sampler.reset(model, s, th))(states, pars)
-
-    keys = jax.random.split(key, npart + 1)
-    step_keys, k_res = keys[:npart], keys[npart]
+    step_keys = jax.random.split(key, npart)
     states, infos = jax.vmap(lambda s, k: sampler.step(model, ctx, s, k))(
         states, step_keys
     )
-
     new_pars = infos["ppars"]
     plogtarget = infos["plogtarget"]
     ll0 = infos["logtarget"]  # log-target at the reset particle (pre-proposal)
     logW = logW + ll0 - logtarget
-    logtarget = plogtarget
-
-    return states, new_pars, logW, logtarget, k_res
+    return states, new_pars, logW, plogtarget
 
 
 def _resample(pars, logW, logtarget, key, trigger, ess_trigger):
@@ -87,6 +79,39 @@ def _resample(pars, logW, logtarget, key, trigger, ess_trigger):
         (pars[idx], jnp.zeros_like(logW), logtarget[idx]),
         (pars, logW, logtarget),
     )
+
+
+@partial(jax.jit, static_argnames=("samplers", "ctxs", "steps", "trigger",
+                                   "ess_trigger"))
+def _seqmc_scan(models, samplers, ctxs, states, pars, key, *, steps, trigger,
+                ess_trigger):
+    npart = pars.shape[0]
+    ntargets = len(samplers)
+
+    def one_step(carry, k):
+        states, pars, logW, logtarget = carry
+        for ti in range(ntargets):  # static target ladder (SeqMC.jl:64)
+            k_t = jax.random.fold_in(k, 2 * ti)
+            k_res = jax.random.fold_in(k, 2 * ti + 1)
+            st, pars, logW, logtarget = _target_step(
+                models[ti], samplers[ti], ctxs[ti], states[ti], pars, logW,
+                logtarget, k_t,
+            )
+            states = states[:ti] + (st,) + states[ti + 1:]
+            pars, logW, logtarget = _resample(pars, logW, logtarget, k_res,
+                                              trigger, ess_trigger)
+        var_w = jnp.var(jnp.exp(logW), ddof=1)
+        out = (pars, jnp.exp(logW), var_w)
+        logtarget = jnp.zeros((npart,), dtype=pars.dtype)
+        return (states, pars, logW, logtarget), out
+
+    logW = jnp.zeros((npart,), dtype=pars.dtype)
+    logtarget = jnp.zeros((npart,), dtype=pars.dtype)
+    keys = jax.random.split(key, steps)
+    (states, pars, logW, logtarget), ys = jax.lax.scan(
+        one_step, (states, pars, logW, logtarget), keys
+    )
+    return states, ys
 
 
 def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
@@ -108,6 +133,7 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
     pars = jnp.asarray(np.asarray(particles, dtype=np.float64))
     if pars.ndim == 1:
         pars = pars[:, None]
+    pars = pars.astype(targets[-1].model.init.dtype)
     npart = pars.shape[0]
 
     # per-target batched sampler states (replaces one coroutine per target)
@@ -115,38 +141,28 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
     for i, t in enumerate(targets):
         t.sampler.check(t.model)
         kinit = jax.random.fold_in(key, i)
-        st = jax.vmap(lambda th, k: t.sampler.init(t.model, th, k))(
+        st = jax.vmap(lambda th, k, _t=t: _t.sampler.init(_t.model, th, k))(
             pars, jax.random.split(kinit, npart)
         )
         states.append(st)
 
-    logW = jnp.zeros((npart,))
-    logtarget = jnp.zeros((npart,))
+    key, k_run = jax.random.split(key)
+    states, (all_pars, all_W, all_var) = _seqmc_scan(
+        tuple(t.model for t in targets),
+        tuple(t.sampler for t in targets),
+        tuple(RunCtx(burnin=t.runner.burnin) for t in targets),
+        tuple(states), pars, k_run,
+        steps=steps, trigger=runner.trigger, ess_trigger=runner.ess_trigger,
+    )
 
-    kept_pars = []
-    kept_W = []
+    all_pars = np.asarray(all_pars)  # (steps, npart, d)
+    all_W = np.asarray(all_W)
+    if verbose:
+        for i, v in enumerate(np.asarray(all_var), start=1):
+            print(f"iter {i}, var {float(v)}")
 
-    ctxs = [RunCtx(burnin=t.runner.burnin) for t in targets]
-
-    for i in range(1, steps + 1):
-        for ti, t in enumerate(targets):
-            key, k_step = jax.random.split(key)
-            states[ti], pars, logW, logtarget, k_res = _seqmc_target_step(
-                t.model, t.sampler, ctxs[ti], states[ti], pars, logW, logtarget,
-                k_step,
-            )
-            pars, logW, logtarget = _resample(
-                pars, logW, logtarget, k_res, runner.trigger, runner.ess_trigger
-            )
-        if verbose:
-            print(f"iter {i}, var {float(jnp.var(jnp.exp(logW), ddof=1))}")
-        logtarget = jnp.zeros((npart,))
-        if i > burnin:
-            kept_pars.append(np.asarray(pars))
-            kept_W.append(np.asarray(jnp.exp(logW)))
-
-    samples = np.concatenate(kept_pars, axis=0)
-    weights = np.concatenate(kept_W, axis=0)
+    samples = all_pars[burnin:].reshape(-1, tsize)
+    weights = all_W[burnin:].reshape(-1)
 
     cn = targets[-1].model.column_names()
     nkept = steps - burnin
