@@ -307,9 +307,9 @@ def model(
     if dtensor is True:
         assert evalt is not None, "dtensor=True requires a tensor"
         _t = evalt
-        # dG[:, :, i] = d G / d theta_i, matching the reference layout
-        # (PMALA.jl:77-80 indexes dG[:, :, i])
-        evaldt = lambda th: jnp.moveaxis(jax.jacfwd(_t)(th), -1, -1)  # noqa: E731
+        # jacfwd yields dG[i, j, k] = dG_ij/dtheta_k — already the reference
+        # layout (PMALA.jl:77-80 indexes dG[:, :, i])
+        evaldt = jax.jacfwd(_t)
     elif callable(dtensor):
         evaldt = dtensor
     elif alldtensor is not None:

@@ -51,9 +51,9 @@ def _shard_chains(tree, mesh):
 
 
 @partial(jax.jit, static_argnames=("sampler", "ctx", "nsteps", "thinning",
-                                   "keep_every_info", "pool_adaptation"))
+                                   "pool_adaptation"))
 def _scan_chains(model, sampler, ctx, states, key, nsteps, thinning=1,
-                 keep_every_info=True, pool_adaptation=False):
+                 pool_adaptation=False):
     """Advance a batch of chains ``nsteps`` steps; ys are the per-step infos.
 
     With ``thinning > 1`` the scan emits only every ``thinning``-th info

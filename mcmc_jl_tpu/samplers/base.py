@@ -60,7 +60,8 @@ def metropolis_accept(key, ratio):
 
 
 def mh_select(accept, proposed, current):
-    """Select proposed/current state fields elementwise on acceptance."""
+    """Select proposed/current pytree fields elementwise on acceptance
+    (the `if accepted` branch of every reference sampler, as a select)."""
     return jax.tree_util.tree_map(
         lambda p, c: jnp.where(accept, p, c), proposed, current
     )
