@@ -119,7 +119,17 @@ def main():
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     X, Y = _data()
-    rate = _bench_tpu(X, Y) if on_tpu else _bench_generic(X, Y)
+    if on_tpu:
+        try:
+            rate = _bench_tpu(X, Y)
+        except Exception as e:  # pragma: no cover - driver safety net
+            import sys
+
+            print(f"pallas path failed ({type(e).__name__}); falling back "
+                  f"to generic path", file=sys.stderr)
+            rate = _bench_generic(X, Y)
+    else:
+        rate = _bench_generic(X, Y)
 
     print(json.dumps({
         "metric": "hmc_leapfrog_steps_per_sec_per_chip_logistic_1000x10",

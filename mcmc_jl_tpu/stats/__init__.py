@@ -4,10 +4,12 @@ from .var import mcvar, mcse, var, std, mcvar_iid, mcvar_bm, mcvar_imse, mcvar_i
 from .ess import ess, actime
 from .summary import acceptance, describe, wsample
 from .zv import linear_zv, quadratic_zv, linearZv, quadraticZv
+from .multichain import rhat, ess_pooled, summarize_chains
 
 __all__ = [
     "mean", "mean_rb", "mcvar", "mcse", "var", "std",
     "mcvar_iid", "mcvar_bm", "mcvar_imse", "mcvar_ipse",
     "ess", "actime", "acceptance", "describe", "wsample",
     "linear_zv", "quadratic_zv", "linearZv", "quadraticZv",
+    "rhat", "ess_pooled", "summarize_chains",
 ]

@@ -137,3 +137,29 @@ def test_acceptance_lags_and_reject():
     np.testing.assert_allclose(a + r, 100.0)
     a_first = mc.acceptance(chain, lags=range(1, 501))
     assert 0 <= a_first <= 100
+
+
+def test_multichain_rhat_and_pooled_ess():
+    """Cross-chain diagnostics on a well-mixed vmapped batch."""
+    from mcmc_jl_tpu.parallel import run_chains
+
+    m = mc.model(lambda v: -jnp.dot(v, v), grad=lambda v: -2 * v,
+                 init=jnp.ones(2))
+    infos, _, _ = run_chains(m, mc.HMC(0.75), mc.SerialMC(steps=1500, burnin=500),
+                             8, seed=0, jitter=1.0)
+    x = np.asarray(infos["ppars"])[500:]
+    r = mc.rhat(x)
+    assert r.shape == (2,) and np.all(r < 1.05), r
+    e = mc.ess_pooled(x)
+    assert np.all(e > 1000), e
+    rep = mc.summarize_chains(x, param_names=["a", "b"])
+    assert set(rep) == {"a", "b"}
+    assert abs(rep["a"]["mean"]) < 0.1
+    assert 1.0 > rep["a"]["rhat"] - 0.05
+
+
+def test_wsample():
+    vals = np.array([0.0, 1.0, 2.0])
+    w = np.array([0.0, 0.0, 1.0])
+    out = mc.wsample(vals, w, 50)
+    assert np.all(out == 2.0)
