@@ -146,6 +146,14 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
         )
         states.append(st)
 
+    # exact continuation: reuse particle positions/weights from a prior run
+    carried = getattr(runner, "_carry", None)
+    if targets[-1].state is not None and isinstance(targets[-1].state, dict):
+        carried = targets[-1].state
+    if carried is not None:
+        pars = jnp.asarray(carried["pars"], dtype=pars.dtype)
+        npart = pars.shape[0]
+
     key, k_run = jax.random.split(key)
     states, (all_pars, all_W, all_var) = _seqmc_scan(
         tuple(t.model for t in targets),
@@ -166,6 +174,15 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
 
     cn = targets[-1].model.column_names()
     nkept = steps - burnin
+    # carry the live particle ensemble for exact resume (the reference's
+    # resume_seqmc re-runs from scratch, SeqMC.jl:125-128)
+    final_carry = {"pars": np.asarray(all_pars[-1]),
+                   "logW": np.log(np.maximum(all_W[-1], 1e-300))}
+    new_targets = [
+        MCMCTask(t.model, t.sampler, t.runner, state=final_carry, key=key,
+                 pos=t.pos + steps)
+        for t in targets
+    ]
     chain = MCMCChain(
         range=range(burnin + 1, nkept * npart + 1),
         samples=Table(samples, cn),
@@ -175,13 +192,15 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
             "weights": weights,
             "particle": np.tile(np.arange(1, npart + 1), nkept),
         },
-        task=targets,
+        task=new_targets,
         run_time=time.time() - t0,
     )
     return chain
 
 
 def resume_seqmc(targets, steps: int = 100, **kwargs):
+    """Continue a SeqMC run: the final particle ensemble stored in the
+    finished tasks becomes the initial particles of the new run."""
     from .api import run
 
     new = [

@@ -137,3 +137,25 @@ def test_slice_funnel():
     # posterior marginal of v is N(0, 3): sd of mean ~ 3/sqrt(ess)
     assert abs(v.mean()) < 0.5
     assert abs(v.std() - 3.0) < 0.6
+
+
+def test_seqmc_resume_continues_particles():
+    nmod = 3
+    sts = np.logspace(0.5, -0.5, nmod)
+    mods = []
+    for st in sts:
+        def ex(x, _st=st):
+            mc.tilde(jnp.abs(x), mc.Normal(1.0, _st))
+
+        mods.append(mc.model(ex, x=0.0))
+    targets = [mods[i] * mc.RWM(float(sts[i])) * mc.SeqMC(steps=5, burnin=0)
+               for i in range(nmod)]
+    rng = np.random.default_rng(0)
+    chain = mc.run(targets, particles=rng.standard_normal((100, 1)))
+    assert isinstance(chain.task[-1].state, dict)
+    final = chain.task[-1].state["pars"]
+    assert final.shape == (100, 1)
+
+    chain2 = mc.resume(chain.task, steps=4)
+    assert chain2.samples.shape == (400, 1)
+    assert np.all(np.isfinite(chain2.samples.values))
