@@ -79,13 +79,22 @@ def _kernel(eps_ref, xt_ref, y_ref, theta_ref, m_ref, grad_ref,
     y = y_ref[:]              # (1, N)
     ll_fn, resid_fn = link_terms(kind)
 
-    def logp_grad(theta):
+    def grad_only(theta):
         # matmuls feed the MXU in mxu_dtype (bf16 doubles throughput on the
-        # systolic array); accumulation stays f32
+        # systolic array); accumulation stays f32.  Only the gradient is
+        # needed inside the trajectory — the log-lik terms (softplus /
+        # log_ndtr transcendentals) are evaluated once at the end.
         logits = jnp.dot(theta.astype(mxu_dtype), xt,
                          preferred_element_type=jnp.float32)  # (C, N)
         r = resid_fn(logits, y)
         # grad = r @ X - theta ; X = xt.T
+        return jnp.dot(r.astype(mxu_dtype), xtt,
+                       preferred_element_type=jnp.float32) - theta
+
+    def logp_grad(theta):
+        logits = jnp.dot(theta.astype(mxu_dtype), xt,
+                         preferred_element_type=jnp.float32)
+        r = resid_fn(logits, y)
         g = jnp.dot(r.astype(mxu_dtype), xtt,
                     preferred_element_type=jnp.float32) - theta
         lp = (
@@ -98,7 +107,7 @@ def _kernel(eps_ref, xt_ref, y_ref, theta_ref, m_ref, grad_ref,
         theta, m, g = carry
         m = m + 0.5 * eps * g
         theta = theta + eps * m
-        lp, g = logp_grad(theta)
+        g = grad_only(theta)
         m = m + 0.5 * eps * g
         return theta, m, g
 
