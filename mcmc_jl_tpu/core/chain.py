@@ -41,6 +41,37 @@ class MCMCChain:
     def ncol(self):
         return self.samples.ncol
 
+    # -- stats conveniences (delegate to the stats layer) ------------------
+    def mean(self, *a, **k):
+        from ..stats import mean
+
+        return mean(self, *a, **k)
+
+    def var(self, *a, **k):
+        from ..stats import var
+
+        return var(self, *a, **k)
+
+    def ess(self, *a, **k):
+        from ..stats import ess
+
+        return ess(self, *a, **k)
+
+    def actime(self, *a, **k):
+        from ..stats import actime
+
+        return actime(self, *a, **k)
+
+    def acceptance(self, *a, **k):
+        from ..stats import acceptance
+
+        return acceptance(self, *a, **k)
+
+    def describe(self, *a, **k):
+        from ..stats import describe
+
+        return describe(self, *a, **k)
+
     def __repr__(self):
         return (
             f"{self.ncol} parameters, {self.nrow} samples (per parameter), "

@@ -48,3 +48,12 @@ def test_model_arrays_and_resume():
 def test_out_of_support_init_raises():
     with pytest.raises(ValueError, match="support"):
         mc.model(lambda v: jnp.where(v.sum() > 0, -jnp.inf, 0.0), init=jnp.ones(2))
+
+
+def test_chain_stat_methods():
+    m = mc.model(lambda v: -jnp.dot(v, v), grad=lambda v: -2 * v, init=jnp.ones(2))
+    c = mc.run(m * mc.HMC(5, 0.5) * mc.SerialMC(steps=600, burnin=100))
+    np.testing.assert_allclose(c.mean(), mc.mean(c))
+    np.testing.assert_allclose(c.ess(), mc.ess(c))
+    np.testing.assert_allclose(c.var(), mc.var(c))
+    assert c.acceptance() == mc.acceptance(c)
