@@ -49,6 +49,14 @@ class HMCState:
     grad: jnp.ndarray
     tune: TuneState
     i: jnp.ndarray
+    # Welford accumulators for diagonal mass-matrix warmup (mass_adapt=True):
+    # running posterior mean/M2 per coordinate; the estimated std becomes a
+    # per-coordinate leapfrog scale (equivalent to kinetic 1/2 p' M^-1 p with
+    # M = diag(1/var)).  Beyond the reference, whose only preconditioning is
+    # the static model.scale hint.
+    w_count: jnp.ndarray
+    w_mean: jnp.ndarray
+    w_m2: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True, repr=False)
@@ -57,11 +65,13 @@ class HMC(Sampler):
     leap_step: float = 0.1
     store_leaps: bool = False
     tuner: Optional[EmpMCTuner] = None
+    mass_adapt: bool = False
 
     needs_gradient = True
 
     def __init__(self, *args, n_leaps=None, leap_step=None, store_leaps=None,
-                 tuner=None, init=None, scale=None, leaps=None):
+                 tuner=None, init=None, scale=None, leaps=None,
+                 mass_adapt=False):
         """Positional-convenience constructors mirroring the reference's
         overloads (HMC.jl:70-80): ``HMC()``, ``HMC(n)``, ``HMC(eps)``,
         ``HMC(n, eps)``, trailing tuner allowed; plus the kwargs form
@@ -95,6 +105,7 @@ class HMC(Sampler):
         object.__setattr__(self, "leap_step", float(leap_step))
         object.__setattr__(self, "store_leaps", bool(store_leaps))
         object.__setattr__(self, "tuner", tuner)
+        object.__setattr__(self, "mass_adapt", bool(mass_adapt))
 
     # -- protocol ----------------------------------------------------------
     def init(self, model, theta0, key):
@@ -103,11 +114,22 @@ class HMC(Sampler):
             pars=theta0, logtarget=lp, grad=g,
             tune=tuner_init(self.leap_step, self.n_leaps),
             i=jnp.asarray(1, dtype=jnp.int32),
+            w_count=jnp.asarray(0, dtype=jnp.int32),
+            w_mean=jnp.zeros_like(theta0),
+            w_m2=jnp.zeros_like(theta0),
         )
 
     def reset(self, model, state, theta):
         lp, g = model.evalallg(theta)
         return state.replace(pars=theta, logtarget=lp, grad=g)
+
+    def _mass_scale(self, state, dtype):
+        """Per-coordinate leapfrog scale sqrt(var-hat); identity until enough
+        warmup samples have accumulated."""
+        cnt = state.w_count.astype(dtype)
+        var = state.w_m2 / jnp.maximum(cnt - 1.0, 1.0)
+        s = jnp.sqrt(jnp.clip(var, 1e-6, 1e6))
+        return jnp.where(state.w_count >= 20, s, jnp.ones_like(s))
 
     def _max_leaps(self):
         return self.tuner.max_step if self.tuner is not None else self.n_leaps
@@ -121,6 +143,10 @@ class HMC(Sampler):
         else:
             eps = jnp.asarray(self.leap_step, dtype=dtype)
             nl = jnp.asarray(self.n_leaps, dtype=jnp.int32)
+        if self.mass_adapt:
+            # vector leapfrog step = eps * sqrt(var-hat): diagonal mass
+            # preconditioning folded into the integrator
+            eps = eps * self._mass_scale(state, dtype)
 
         m0 = jax.random.normal(k_mom, state.pars.shape, dtype=dtype)
         H0 = hamiltonian(state.logtarget, m0)
@@ -167,6 +193,19 @@ class HMC(Sampler):
         tune = tuner_update(self.tuner, state.tune, state.i, accept, ctx.burnin,
                             with_leaps=True)
 
+        if self.mass_adapt:
+            # Welford update on the post-accept position, burn-in gated
+            adapting = state.i <= ctx.burnin
+            cnt = state.w_count + jnp.where(adapting, 1, 0)
+            cf = jnp.maximum(cnt.astype(dtype), 1.0)
+            delta = new_pars - state.w_mean
+            w_mean = jnp.where(adapting, state.w_mean + delta / cf, state.w_mean)
+            w_m2 = jnp.where(adapting,
+                             state.w_m2 + delta * (new_pars - w_mean),
+                             state.w_m2)
+        else:
+            cnt, w_mean, w_m2 = state.w_count, state.w_mean, state.w_m2
+
         info = {
             "ppars": new_pars,
             "plogtarget": new_lp,
@@ -179,6 +218,6 @@ class HMC(Sampler):
         }
         return (
             HMCState(pars=new_pars, logtarget=new_lp, grad=new_grad, tune=tune,
-                     i=state.i + 1),
+                     i=state.i + 1, w_count=cnt, w_mean=w_mean, w_m2=w_m2),
             info,
         )
