@@ -50,6 +50,12 @@ class NUTSState:
     hbar: jnp.ndarray
     lebar: jnp.ndarray
     i: jnp.ndarray
+    # Welford accumulators for diagonal mass warmup (mass_adapt=True); the
+    # estimated std multiplies the momentum scale the way the reference's
+    # static model.scale does (NUTS.jl:73,138)
+    w_count: jnp.ndarray
+    w_mean: jnp.ndarray
+    w_m2: jnp.ndarray
 
 
 def _trailing_ones(k):
@@ -64,12 +70,19 @@ def _popcount(k):
 @dataclasses.dataclass(frozen=True, repr=False)
 class NUTS(Sampler):
     maxdoublings: int = 5
+    mass_adapt: bool = False
 
     needs_gradient = True
 
     def __post_init__(self):
         assert self.maxdoublings > 0, "max doublings should be > 0"
         assert self.maxdoublings < 20, "max doublings reasonably be < 20"
+
+    def _mass_scale(self, state, dtype):
+        cnt = state.w_count.astype(dtype)
+        var = state.w_m2 / jnp.maximum(cnt - 1.0, 1.0)
+        s = jnp.sqrt(jnp.clip(var, 1e-6, 1e6))
+        return jnp.where(state.w_count >= 20, s, jnp.ones_like(s))
 
     # ------------------------------------------------------------------
     def init(self, model, theta0, key):
@@ -105,6 +118,9 @@ class NUTS(Sampler):
             hbar=jnp.asarray(0.0, dtype=theta0.dtype),
             lebar=jnp.asarray(0.0, dtype=theta0.dtype),
             i=jnp.asarray(1, dtype=jnp.int32),
+            w_count=jnp.asarray(0, dtype=jnp.int32),
+            w_mean=jnp.zeros_like(theta0),
+            w_m2=jnp.zeros_like(theta0),
         )
 
     def reset(self, model, state, theta):
@@ -198,8 +214,33 @@ class NUTS(Sampler):
     def step(self, model, ctx: RunCtx, state, key):
         dtype = state.pars.dtype
         d = state.pars.shape[0]
-        scale = model.scale.astype(dtype)
         k_mom, k_slice, k_tree = jax.random.split(key, 3)
+
+        if self.mass_adapt:
+            # Preconditioned NUTS in standardized coordinates z = theta / s:
+            # run a *unit-metric* tree on lp_z(z) = lp(s z) (grad_z = s *
+            # grad_theta), which is exactly NUTS with diagonal mass
+            # M = diag(1/s^2).  (The reference's momentum-scaling shortcut,
+            # NUTS.jl:138 + H = 0.5|m|^2, is only a valid Hamiltonian pair
+            # for unit scale, so the adapted metric uses this reparam.)
+            import types
+
+            s_vec = model.scale.astype(dtype) * self._mass_scale(state, dtype)
+
+            def evalallg_z(z):
+                lp, g = model.evalallg(z * s_vec)
+                return lp, g * s_vec
+
+            tree_model = types.SimpleNamespace(evalallg=evalallg_z)
+            pars_t = state.pars / s_vec
+            grad_t = state.grad * s_vec
+            scale = jnp.ones((d,), dtype=dtype)
+        else:
+            s_vec = None
+            tree_model = model
+            pars_t = state.pars
+            grad_t = state.grad
+            scale = model.scale.astype(dtype)
 
         m0 = jax.random.normal(k_mom, (d,), dtype=dtype) * scale
         H0 = hamiltonian(state.logtarget, m0)
@@ -207,7 +248,7 @@ class NUTS(Sampler):
         u_slice = jnp.log(jax.random.uniform(k_slice, (), dtype=dtype)) - H0
 
         eps = state.epsilon
-        z0 = (state.pars, m0, state.logtarget, state.grad)
+        z0 = (pars_t, m0, state.logtarget, grad_t)
 
         def cond(c):
             return c["s"] & (c["j"] < self.maxdoublings)
@@ -222,7 +263,7 @@ class NUTS(Sampler):
             )
             n_leaves = jnp.asarray(1, jnp.int32) << c["j"]
             z_end, prop1, n1, s1, alpha, nalpha = self._build_subtree(
-                model, edge, dirn * eps, dirn, n_leaves, u_slice, H0, k_sub
+                tree_model, edge, dirn * eps, dirn, n_leaves, u_slice, H0, k_sub
             )
             z_plus = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(go_fwd, b, a), c["z_plus"], z_end
@@ -253,12 +294,15 @@ class NUTS(Sampler):
             "j": jnp.asarray(0, jnp.int32), "n": jnp.asarray(1, jnp.int32),
             "s": jnp.asarray(True),
             "z_minus": z0, "z_plus": z0,
-            "prop": (state.pars, state.logtarget, state.grad),
+            "prop": (pars_t, state.logtarget, grad_t),
             "alpha": jnp.asarray(1.0, dtype), "nalpha": jnp.asarray(1, jnp.int32),
             "key": k_tree,
         }
         out = jax.lax.while_loop(cond, body, init)
         new_pars, new_lp, new_grad = out["prop"]
+        if self.mass_adapt:  # back to theta-space
+            new_pars = new_pars * s_vec
+            new_grad = new_grad / s_vec
 
         # --- dual averaging (NUTS.jl:162-169) ----------------------------
         i = state.i.astype(dtype)
@@ -270,6 +314,18 @@ class NUTS(Sampler):
         new_eps = jnp.where(in_adapt, jnp.exp(le), jnp.exp(state.lebar))
         new_hbar = jnp.where(in_adapt, hbar, state.hbar)
         new_lebar = jnp.where(in_adapt, lebar, state.lebar)
+
+        if self.mass_adapt:
+            adapting = state.i <= ctx.burnin
+            cnt = state.w_count + jnp.where(adapting, 1, 0)
+            cf = jnp.maximum(cnt.astype(dtype), 1.0)
+            delta = new_pars - state.w_mean
+            w_mean = jnp.where(adapting, state.w_mean + delta / cf, state.w_mean)
+            w_m2 = jnp.where(adapting,
+                             state.w_m2 + delta * (new_pars - w_mean),
+                             state.w_m2)
+        else:
+            cnt, w_mean, w_m2 = state.w_count, state.w_mean, state.w_m2
 
         info = {
             "ppars": new_pars,
@@ -286,7 +342,7 @@ class NUTS(Sampler):
             NUTSState(
                 pars=new_pars, logtarget=new_lp, grad=new_grad,
                 epsilon=new_eps, mu=state.mu, hbar=new_hbar, lebar=new_lebar,
-                i=state.i + 1,
+                i=state.i + 1, w_count=cnt, w_mean=w_mean, w_m2=w_m2,
             ),
             info,
         )

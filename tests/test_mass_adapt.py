@@ -56,3 +56,17 @@ def test_mass_adapt_off_keeps_identity_metric():
     m = _model()
     c = mc.run(m * mc.HMC(10, 0.08) * mc.SerialMC(steps=500, burnin=200), seed=2)
     assert int(c.task.state.w_count) == 0
+
+
+def test_nuts_mass_adapt():
+    m = _model()
+    c_plain = mc.run(m * mc.NUTS() * mc.SerialMC(steps=3000, burnin=1500), seed=0)
+    c_mass = mc.run(m * mc.NUTS(mass_adapt=True)
+                    * mc.SerialMC(steps=3000, burnin=1500), seed=0)
+    x = c_mass.samples.values
+    np.testing.assert_allclose(x.std(axis=0, ddof=1), SDS, rtol=0.3)
+    # min-coordinate ESS improves (DA alone must shrink eps for the 0.1-sd
+    # coordinate, crippling the 10-sd coordinate)
+    assert min(mc.ess(c_mass)) > 1.5 * min(mc.ess(c_plain)), (
+        mc.ess(c_plain), mc.ess(c_mass))
+    assert int(c_mass.task.state.w_count) == 1500
