@@ -9,6 +9,11 @@ taken there, and the rung swap is Metropolis-accepted on
 ``logtarget - logtarget2 + logW2 - logW1`` (SerialTempMC.jl:57-66).  The
 reference leaves logW adaptation as a TODO (SerialTempMC.jl:71); we ship a
 Wang-Landau-style optional adaptation (``adapt_weights=True``).
+
+When every rung uses the same sampler type the whole run compiles to ONE
+``lax.scan`` whose body ``lax.switch``es over the (static) rung ladder —
+rung states live stacked on device and the walker never touches the host.
+Heterogeneous ladders fall back to a host loop over jitted per-rung steps.
 """
 from __future__ import annotations
 
@@ -56,6 +61,75 @@ def _reset_and_step(model, sampler, ctx, state, pars, key):
     return sampler.step(model, ctx, state, key)
 
 
+def _stackable(tasks):
+    first = type(tasks[0].sampler)
+    return all(type(t.sampler) is first for t in tasks)
+
+
+@partial(jax.jit, static_argnames=("samplers", "ctxs", "steps", "swap_period",
+                                   "adapt_weights"))
+def _temp_scan(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
+               swap_period, adapt_weights):
+    """states: per-rung sampler states stacked on a leading rung axis."""
+    nmods = len(samplers)
+
+    def step_rung(i, states, pars, key, do_reset):
+        """Step rung i (static); optionally reset its walker position."""
+        st = jax.tree_util.tree_map(lambda a: a[i], states)
+        st = jax.lax.cond(
+            do_reset,
+            lambda: samplers[i].reset(models[i], st, pars),
+            lambda: st,
+        )
+        st, info = samplers[i].step(models[i], ctxs[i], st, key)
+        states = jax.tree_util.tree_map(
+            lambda a, b: a.at[i].set(b), states, st
+        )
+        return states, info
+
+    def one_step(carry, inp):
+        states, at, pars, logtarget, logW = carry
+        i, key = inp
+        k_step, k_pick, k_acc = jax.random.split(key, 3)
+
+        do_swap = (i % swap_period) == 0
+        # pick another rung uniformly (SerialTempMC.jl:58-60)
+        at2 = jax.random.randint(k_pick, (), 0, nmods - 1, dtype=jnp.int32)
+        at2 = jnp.where(at2 >= at, at2 + 1, at2).astype(jnp.int32)
+        target = jnp.where(do_swap, at2, at)
+
+        branches = [
+            lambda sts, p, k, rst, _i=_i: step_rung(_i, sts, p, k, rst)
+            for _i in range(nmods)
+        ]
+        states, info = jax.lax.switch(target, branches, states, pars, k_step,
+                                      do_swap)
+
+        # Metropolis swap on tempered weights (SerialTempMC.jl:62-66)
+        ratio = logtarget - info["logtarget"] + logW[at2] - logW[at]
+        u = jnp.log(jax.random.uniform(k_acc, ()))
+        take = jnp.where(do_swap,
+                         jnp.where(jnp.isnan(ratio), False, u < ratio),
+                         True)
+        new_at = jnp.where(do_swap & take, at2, at)
+        new_pars = jnp.where(take, info["ppars"], pars)
+        new_lp = jnp.where(take, info["logtarget"], logtarget)
+
+        if adapt_weights:
+            logW = logW.at[new_at].add(-1.0 / i)
+
+        return (states, new_at, new_pars, new_lp, logW), (new_pars, new_at)
+
+    idx = jnp.arange(1, steps + 1)
+    keys = jax.random.split(key, steps)
+    carry0 = (states, jnp.asarray(0, jnp.int32), pars0, lp0,
+              jnp.zeros((nmods,), dtype=pars0.dtype))
+    (states, at, pars, lp, logW), (all_pars, all_at) = jax.lax.scan(
+        one_step, carry0, (idx, keys)
+    )
+    return states, logW, all_pars, all_at
+
+
 def run_serialtempmc(tasks, seed: int = 0):
     nmods = len(tasks)
     tsize = tasks[-1].model.size
@@ -65,25 +139,68 @@ def run_serialtempmc(tasks, seed: int = 0):
     assert all(t.model.size == tsize for t in tasks), (
         "Models do not have the same parameter vector size"
     )
+    for t in tasks:
+        t.sampler.check(t.model)
 
     t0 = time.time()
     key = jax.random.PRNGKey(seed)
+
+    if _stackable(tasks):
+        return _run_on_device(tasks, key, t0)
+    return _run_host(tasks, key, seed, t0)
+
+
+def _run_on_device(tasks, key, t0):
+    nmods = len(tasks)
+    tsize = tasks[-1].model.size
+    runner = tasks[-1].runner
+    steps, burnin = runner.steps, runner.burnin
+
+    states = [
+        t.sampler.init(t.model, t.model.init, jax.random.fold_in(key, i))
+        for i, t in enumerate(tasks)
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    # initialize from rung 0 (SerialTempMC.jl:52-55)
+    key, k0, k_run = jax.random.split(key, 3)
+    st0, info0 = _one_step(tasks[0].model, tasks[0].sampler,
+                           RunCtx(burnin=burnin), states[0], k0)
+    pars0, lp0 = info0["ppars"], info0["logtarget"]
+
+    final_states, logW, all_pars, all_at = _temp_scan(
+        tuple(t.model for t in tasks),
+        tuple(t.sampler for t in tasks),
+        tuple(RunCtx(burnin=t.runner.burnin) for t in tasks),
+        stacked, pars0, lp0, k_run,
+        steps=steps, swap_period=runner.swap_period,
+        adapt_weights=runner.adapt_weights,
+    )
+    samples = np.asarray(all_pars)[burnin:]
+    rungs = np.asarray(all_at)[burnin:] + 1
+    return _make_chain(tasks, samples, rungs, np.asarray(logW), t0)
+
+
+def _run_host(tasks, key, seed, t0):
+    """Fallback for ladders mixing sampler types."""
+    nmods = len(tasks)
+    tsize = tasks[-1].model.size
+    runner = tasks[-1].runner
+    steps, burnin, swap_period = runner.steps, runner.burnin, runner.swap_period
     rng = np.random.default_rng(seed)
 
-    states = []
-    ctxs = []
+    states, ctxs = [], []
     for i, t in enumerate(tasks):
-        t.sampler.check(t.model)
-        states.append(t.sampler.init(t.model, t.model.init, jax.random.fold_in(key, i)))
+        states.append(t.sampler.init(t.model, t.model.init,
+                                     jax.random.fold_in(key, i)))
         ctxs.append(RunCtx(burnin=t.runner.burnin))
 
-    logW = np.zeros(nmods)  # task weights (adaptation optional)
-    at = 0  # current rung
+    logW = np.zeros(nmods)
+    at = 0
     key, k0 = jax.random.split(key)
     states[at], info = _one_step(tasks[at].model, tasks[at].sampler, ctxs[at],
                                  states[at], k0)
-    pars = info["ppars"]
-    logtarget = info["logtarget"]
+    pars, logtarget = info["ppars"], info["logtarget"]
 
     samples = np.empty((steps - burnin, tsize))
     rungs = np.empty(steps - burnin, dtype=np.int64)
@@ -91,7 +208,6 @@ def run_serialtempmc(tasks, seed: int = 0):
     for i in range(1, steps + 1):
         key, k_step = jax.random.split(key)
         if i % swap_period == 0:
-            # propose a random other rung (SerialTempMC.jl:58-60)
             at2 = int(rng.integers(0, nmods - 1))
             at2 = at2 + 1 if at2 >= at else at2
             states[at2], s2 = _reset_and_step(
@@ -105,28 +221,29 @@ def run_serialtempmc(tasks, seed: int = 0):
             states[at], info = _one_step(
                 tasks[at].model, tasks[at].sampler, ctxs[at], states[at], k_step
             )
-
         if runner.adapt_weights:
-            # Wang-Landau-flavored occupation balancing (reference TODO)
             logW[at] -= 1.0 / i
-
         pars = info["ppars"]
         logtarget = info["logtarget"]
-
         if i > burnin:
             samples[i - burnin - 1] = np.asarray(pars)
             rungs[i - burnin - 1] = at + 1
 
+    return _make_chain(tasks, samples, rungs, logW, t0)
+
+
+def _make_chain(tasks, samples, rungs, logW, t0):
+    tsize = tasks[-1].model.size
+    runner = tasks[-1].runner
     cn = tasks[-1].model.column_names()
-    chain = MCMCChain(
-        range=range(burnin + 1, steps + 1),
+    return MCMCChain(
+        range=range(runner.burnin + 1, runner.steps + 1),
         samples=Table(samples, cn),
         gradients=Table(np.zeros((0, tsize)), cn),
         diagnostics={"mod": rungs, "logW": logW},
         task=tasks,
         run_time=time.time() - t0,
     )
-    return chain
 
 
 def resume_serialtempmc(tasks, steps: int = 100, **kwargs):

@@ -159,3 +159,22 @@ def test_seqmc_resume_continues_particles():
     chain2 = mc.resume(chain.task, steps=4)
     assert chain2.samples.shape == (400, 1)
     assert np.all(np.isfinite(chain2.samples.values))
+
+
+def test_serialtempmc_heterogeneous_fallback():
+    """Mixed sampler types fall back to the host loop and still work."""
+    def ex1(x):
+        mc.tilde(jnp.abs(x), mc.Normal(1.0, 2.0))
+
+    def ex2(x):
+        mc.tilde(jnp.abs(x), mc.Normal(1.0, 0.5))
+
+    m1 = mc.model(ex1, x=0.5, gradient=True)
+    m2 = mc.model(ex2, x=0.5, gradient=True)
+    tasks = [
+        m1 * mc.RWM(1.0) * mc.SerialTempMC(steps=300, burnin=50),
+        m2 * mc.MALA(0.3) * mc.SerialTempMC(steps=300, burnin=50),
+    ]
+    chain = mc.run(tasks)
+    assert chain.samples.shape == (250, 1)
+    assert np.all(np.isfinite(chain.samples.values))
