@@ -80,9 +80,7 @@ def _scan_chains(model, sampler, ctx, states, key, nsteps, thinning=1,
 
     nkept = nsteps // thinning
 
-    def group(states, k):
-        gks = jax.random.split(k, thinning)
-
+    def group(states, gks):
         def body(i, st):
             st, _ = one_step(st, gks[i])
             return st
@@ -91,7 +89,10 @@ def _scan_chains(model, sampler, ctx, states, key, nsteps, thinning=1,
         states, info = one_step(states, gks[thinning - 1])
         return states, info
 
-    keys = jax.random.split(key, nkept)
+    # same per-step key schedule as the unthinned path: thinning changes
+    # which infos are emitted, never the trajectory
+    keys = jax.random.split(key, nkept * thinning)
+    keys = keys.reshape(nkept, thinning, *keys.shape[1:])
     return jax.lax.scan(group, states, keys)
 
 

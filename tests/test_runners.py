@@ -178,3 +178,46 @@ def test_serialtempmc_heterogeneous_fallback():
     chain = mc.run(tasks)
     assert chain.samples.shape == (250, 1)
     assert np.all(np.isfinite(chain.samples.values))
+
+
+def test_serialtempmc_crosses_modes():
+    """Capability gate: a separated bimodal target (modes at +-4, sd 0.35)
+    traps plain RWM in one mode; the tempered ladder must visit both."""
+    def make(st):
+        return mc.model(
+            lambda v: jnp.sum(jnp.logaddexp(
+                mc.Normal(-4.0, st).logpdf(v), mc.Normal(4.0, st).logpdf(v)
+            )), init=jnp.asarray([4.0]), check_init=True,
+        )
+
+    ladder = [8.0, 4.0, 2.0, 1.0, 0.35]
+    tasks = [make(st) * mc.RWM(st) * mc.SerialTempMC(steps=20000, burnin=2000,
+                                                     swap_period=5)
+             for st in ladder]
+    chain = mc.run(tasks, seed=0)
+    x = chain.samples.values[:, 0]
+    rungs = chain.diagnostics["mod"]
+    cold = x[rungs == len(ladder)]  # samples while on the coldest rung
+    frac_left = np.mean(cold < 0)
+    assert 0.15 < frac_left < 0.85, frac_left  # both modes visited
+
+    # plain RWM on the cold target stays trapped
+    c_plain = mc.run(make(0.35) * mc.RWM(0.35) * mc.SerialMC(steps=20000,
+                                                             burnin=2000),
+                     seed=0)
+    xp = c_plain.samples.values[:, 0]
+    assert min(np.mean(xp < 0), np.mean(xp > 0)) < 0.02
+
+
+def test_thin_on_device_matches_host_thinning():
+    from mcmc_jl_tpu.parallel import run_chains
+
+    m = mc.model(lambda v: -jnp.dot(v, v), grad=lambda v: -2 * v,
+                 init=jnp.ones(2))
+    runner = mc.SerialMC(steps=600, burnin=0, thinning=3)
+    infos_full, _, _ = run_chains(m, mc.MALA(0.5), runner, 4, seed=11)
+    infos_thin, _, _ = run_chains(m, mc.MALA(0.5), runner, 4, seed=11,
+                                  thin_on_device=True)
+    full = np.asarray(infos_full["ppars"])  # (600, 4, 2)
+    thin = np.asarray(infos_thin["ppars"])  # (200, 4, 2)
+    np.testing.assert_array_equal(full[2::3], thin)
