@@ -11,9 +11,7 @@ adaptive tuner state (SerialMC.jl:93-97, SURVEY §5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
-
-import numpy as np
+from typing import Any
 
 from ..utils.table import Table
 

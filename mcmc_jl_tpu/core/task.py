@@ -10,7 +10,7 @@ vmapped chain batching, and mesh sharding possible (SURVEY §3.1, §5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 
 @dataclasses.dataclass

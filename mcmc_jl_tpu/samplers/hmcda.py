@@ -15,7 +15,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .base import RunCtx, Sampler, metropolis_accept, pytree_dataclass
+from .base import RunCtx, Sampler, pytree_dataclass
 from .hmc import hamiltonian, leapfrog
 
 

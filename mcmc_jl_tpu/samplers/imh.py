@@ -7,7 +7,7 @@ ContinuousMultivariateDistribution convenience ctor, IMH.jl:24-25).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ with vtype in {bm, imse, ipse}.
 """
 from __future__ import annotations
 
-import numpy as np
-
 from .var import _columns, mcvar, mcvar_iid
 
 ACTYPES = ("bm", "imse", "ipse")
