@@ -32,6 +32,7 @@ from .samplers import (
 from .runners.serialmc import SerialMC
 from .runners.seqmc import SeqMC
 from .runners.serialtempmc import SerialTempMC
+from .runners.ptmc import PTMC
 from .runners.api import run, resume, prun
 from .stats import (
     mean, mean_rb, mcvar, mcse, var, std, ess, actime, acceptance, describe,
@@ -53,7 +54,7 @@ __all__ = [
     "MCMCTask", "MCMCChain",
     "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "SMMALA", "PMALA",
     "RMHMC", "ERMLMC", "RMLMC", "EmpMCTuner", "slice_sample",
-    "SerialMC", "SeqMC", "SerialTempMC",
+    "SerialMC", "SeqMC", "SerialTempMC", "PTMC",
     "run", "resume", "prun",
     "mean", "mean_rb", "mcvar", "mcse", "var", "std", "ess", "actime",
     "acceptance", "describe", "wsample", "linear_zv", "quadratic_zv", "linearZv",

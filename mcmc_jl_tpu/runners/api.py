@@ -64,6 +64,10 @@ def run(x, *rest, seed: int = 0, chains: Optional[int] = None, **kwargs):
     assert isinstance(t, MCMCTask), f"cannot run {type(t).__name__}"
     if isinstance(t.runner, SerialMC):
         return run_serialmc(t, seed=seed, **kwargs)
+    from .ptmc import PTMC, run_ptmc
+
+    if isinstance(t.runner, PTMC):
+        return run_ptmc(t.model, t.sampler, t.runner, seed=seed, **kwargs)
     raise TypeError(f"unknown runner type {type(t.runner).__name__}")
 
 

@@ -1,0 +1,188 @@
+"""Parallel tempering (replica exchange) runner — fully batched.
+
+The reference's tempering is *serial* (one walker hopping a task ladder,
+SerialTempMC.jl); SURVEY §2.4 names the TPU-native form: all rungs advance
+simultaneously as one vmapped batch over an inverse-temperature ladder of
+power posteriors ``logp_b(theta) = beta * logp(theta)``, with even/odd
+neighbor swaps every ``swap_period`` steps done as an on-device permutation
+(Metropolis on ``(beta_i - beta_j)(lp_j - lp_i)``).  One model, K replicas,
+zero host round-trips — the whole run is a single ``lax.scan``.
+
+Works with any sampler that uses ``model.eval`` / ``model.evalallg`` /
+``model.scale`` (RWM, IMH, RAM, MALA, HMC, HMCDA, NUTS); the chain returned
+is the cold rung (beta = 1, last ladder entry), with swap-acceptance
+diagnostics.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+import types
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.chain import MCMCChain
+from ..core.task import MCMCTask
+from ..samplers.base import RunCtx
+from ..utils.table import Table
+
+
+@dataclasses.dataclass(frozen=True)
+class PTMC:
+    """Parallel-tempering runner config.
+
+    ``betas``: ascending inverse temperatures ending at 1.0 (the target).
+    """
+
+    steps: int = 1000
+    burnin: int = 0
+    swap_period: int = 5
+    betas: Tuple[float, ...] = (0.1, 0.3, 0.6, 1.0)
+
+    def __post_init__(self):
+        assert self.burnin >= 0
+        assert self.steps > self.burnin
+        assert self.swap_period >= 1
+        b = tuple(self.betas)
+        assert len(b) >= 2 and all(x > 0 for x in b), "betas must be positive"
+        assert all(b[i] < b[i + 1] for i in range(len(b) - 1)), (
+            "betas must be ascending"
+        )
+        assert abs(b[-1] - 1.0) < 1e-12, "last beta must be 1.0 (the target)"
+        object.__setattr__(self, "betas", b)
+
+    def __rmul__(self, other):
+        from ..core.task import product
+
+        return product(other, self)
+
+
+def _tempered_view(model, beta):
+    """A per-replica model view: logp and gradient scaled by beta."""
+    def eval_(th):
+        return beta * model.eval(th)
+
+    def evalallg(th):
+        lp, g = model.evalallg(th)
+        return beta * lp, beta * g
+
+    return types.SimpleNamespace(
+        eval=eval_,
+        evalallg=None if model.evalallg is None else evalallg,
+        scale=model.scale,
+        size=model.size,
+    )
+
+
+@partial(jax.jit, static_argnames=("sampler", "ctx", "steps", "swap_period",
+                                   "betas"))
+def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas):
+    K = len(betas)
+    betas_v = jnp.asarray(betas, dtype=model.init.dtype)
+
+    def step_one(state, k, beta):
+        return sampler.step(_tempered_view(model, beta), ctx, state, k)
+
+    def swap(states, k, parity):
+        """Even/odd neighbor exchange as a batched permutation."""
+        lp_t = states.logtarget  # tempered logp per replica (K,)
+        lp_u = lp_t / betas_v  # untempered
+        idx = jnp.arange(K)
+        is_left = (idx % 2) == parity
+        partner = jnp.where(is_left, idx + 1, idx - 1)
+        valid = (partner >= 0) & (partner < K)
+        partner = jnp.clip(partner, 0, K - 1)
+
+        lp_self = lp_u
+        lp_part = lp_u[partner]
+        # accept prob for the PAIR: (b_i - b_j)(lp_j - lp_i); computed
+        # symmetrically so both members decide identically
+        b_self = betas_v
+        b_part = betas_v[partner]
+        ratio = (b_self - b_part) * (lp_part - lp_self)
+        u = jax.random.uniform(k, (K,), dtype=lp_u.dtype)
+        # one uniform per pair: take the left member's draw
+        pair_u = jnp.where(is_left, u, u[partner])
+        acc = valid & (jnp.log(pair_u) < ratio)
+
+        src = jnp.where(acc, partner, idx)
+        # exchange positions + rescale cached tempered quantities
+        new_pars = states.pars[src]
+        new_lp = lp_u[src] * betas_v
+        new_states = states.replace(pars=new_pars, logtarget=new_lp)
+        if hasattr(states, "grad"):
+            grad_u = states.grad / betas_v[:, None]
+            new_states = new_states.replace(grad=grad_u[src] * betas_v[:, None])
+        swap_rate = jnp.sum(jnp.where(valid & acc, 1, 0)) / 2.0
+        return new_states, swap_rate
+
+    def one_step(carry, inp):
+        states, = carry
+        i, k = inp
+        k_step, k_swap = jax.random.split(k)
+        ks = jax.random.split(k_step, K)
+        states, infos = jax.vmap(step_one)(states, ks, betas_v)
+
+        do_swap = (i % swap_period) == 0
+        states2, nswaps = swap(states, k_swap, parity=(i // swap_period) % 2)
+        states = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_swap, b, a), states, states2
+        )
+        nswaps = jnp.where(do_swap, nswaps, 0.0)
+
+        out = {
+            "ppars": states.pars[-1],  # cold rung after any swap
+            "plogtarget": states.logtarget[-1],
+            "accept": infos["accept"][-1] if "accept" in infos else True,
+            "nswaps": nswaps,
+            "replica_lp": states.logtarget / betas_v,
+        }
+        return (states,), out
+
+    idx = jnp.arange(1, steps + 1)
+    keys = jax.random.split(key, steps)
+    (states,), ys = jax.lax.scan(one_step, (states,), (idx, keys))
+    return states, ys
+
+
+def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None):
+    """Run replica-exchange tempering; returns the cold-rung chain."""
+    sampler.check(model)
+    t0 = time.time()
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    key, k_init, k_run = jax.random.split(key, 3)
+
+    K = len(runner.betas)
+    init_keys = jax.random.split(k_init, K)
+    states = jax.vmap(
+        lambda b, k: sampler.init(_tempered_view(model, b), model.init, k)
+    )(jnp.asarray(runner.betas, dtype=model.init.dtype), init_keys)
+
+    ctx = RunCtx(burnin=runner.burnin)
+    final_states, ys = _ptmc_scan(
+        model, sampler, ctx, states, k_run,
+        steps=runner.steps, swap_period=runner.swap_period, betas=runner.betas,
+    )
+
+    keep = slice(runner.burnin, None)
+    samples = np.asarray(ys["ppars"])[keep]
+    cn = model.column_names()
+    chain = MCMCChain(
+        range=range(runner.burnin + 1, runner.steps + 1),
+        samples=Table(samples, cn),
+        gradients=Table(np.zeros((0, model.size)), cn),
+        diagnostics={
+            "accept": np.asarray(ys["accept"])[keep],
+            "nswaps": np.asarray(ys["nswaps"])[keep],
+            "logtarget": np.asarray(ys["plogtarget"])[keep],
+        },
+        task=MCMCTask(model, sampler, runner, state=final_states, key=key,
+                      pos=runner.steps),
+        run_time=time.time() - t0,
+    )
+    return chain
