@@ -50,6 +50,11 @@ def link_terms(kind):
             lambda z, y: -0.5 * (y - z) * (y - z),
             lambda z, y: y - z,
         )
+    if kind == "poisson":  # log link; the lgamma(y+1) constant is dropped
+        return (
+            lambda z, y: y * z - jnp.exp(z),
+            lambda z, y: y - jnp.exp(z),
+        )
     if kind == "probit":
         def _ll(z, y):
             return y * jsp_log_ndtr(z) + (1.0 - y) * jsp_log_ndtr(-z)

@@ -149,8 +149,8 @@ class NUTS(Sampler):
                                          eps_signed)
             H = hamiltonian(lp, m)
             leaf_valid = u_slice <= -H  # NUTS.jl:91
-            leaf_ok = u_slice < DELTAMAX - H  # NUTS.jl:92
-            leaf_ok = leaf_ok & ~jnp.isnan(H)
+            diverged = (u_slice >= DELTAMAX - H) | jnp.isnan(H)  # NUTS.jl:92
+            leaf_ok = ~diverged
             alpha_leaf = jnp.minimum(1.0, jnp.exp(H0 - H))
             alpha_leaf = jnp.where(jnp.isnan(alpha_leaf), 0.0, alpha_leaf)
 
@@ -192,7 +192,7 @@ class NUTS(Sampler):
             return {
                 "k": k + 1, "pars": pars, "lp": lp, "grad": grad, "m": m,
                 "prop_pars": prop_pars, "prop_lp": prop_lp, "prop_grad": prop_grad,
-                "n": n_new, "ok": ok,
+                "n": n_new, "ok": ok, "div": c["div"] | diverged,
                 "alpha": c["alpha"] + alpha_leaf, "nalpha": c["nalpha"] + 1,
                 "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
             }
@@ -202,13 +202,15 @@ class NUTS(Sampler):
             "m": m,
             "prop_pars": pars, "prop_lp": lp, "prop_grad": grad,
             "n": jnp.asarray(0, jnp.int32), "ok": jnp.asarray(True),
+            "div": jnp.asarray(False),
             "alpha": jnp.asarray(0.0, dtype), "nalpha": jnp.asarray(0, jnp.int32),
             "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
         }
         out = jax.lax.while_loop(cond, body, init)
         z_end = (out["pars"], out["m"], out["lp"], out["grad"])
         prop = (out["prop_pars"], out["prop_lp"], out["prop_grad"])
-        return z_end, prop, out["n"], out["ok"], out["alpha"], out["nalpha"]
+        return (z_end, prop, out["n"], out["ok"], out["alpha"], out["nalpha"],
+                out["div"])
 
     # ------------------------------------------------------------------
     def step(self, model, ctx: RunCtx, state, key):
@@ -262,7 +264,7 @@ class NUTS(Sampler):
                 lambda p, mn: jnp.where(go_fwd, p, mn), c["z_plus"], c["z_minus"]
             )
             n_leaves = jnp.asarray(1, jnp.int32) << c["j"]
-            z_end, prop1, n1, s1, alpha, nalpha = self._build_subtree(
+            z_end, prop1, n1, s1, alpha, nalpha, div = self._build_subtree(
                 tree_model, edge, dirn * eps, dirn, n_leaves, u_slice, H0, k_sub
             )
             z_plus = jax.tree_util.tree_map(
@@ -288,6 +290,7 @@ class NUTS(Sampler):
                 "j": c["j"] + 1, "n": c["n"] + n1, "s": s,
                 "z_minus": z_minus, "z_plus": z_plus, "prop": prop,
                 "alpha": alpha, "nalpha": nalpha, "key": key,
+                "div": c["div"] | div,
             }
 
         init = {
@@ -296,7 +299,7 @@ class NUTS(Sampler):
             "z_minus": z0, "z_plus": z0,
             "prop": (pars_t, state.logtarget, grad_t),
             "alpha": jnp.asarray(1.0, dtype), "nalpha": jnp.asarray(1, jnp.int32),
-            "key": k_tree,
+            "key": k_tree, "div": jnp.asarray(False),
         }
         out = jax.lax.while_loop(cond, body, init)
         new_pars, new_lp, new_grad = out["prop"]
@@ -337,6 +340,7 @@ class NUTS(Sampler):
             "accept": jnp.any(new_pars != state.pars),
             "epsilon": new_eps,
             "ndoublings": out["j"],
+            "diverging": out["div"],
         }
         return (
             NUTSState(

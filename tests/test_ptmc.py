@@ -48,3 +48,47 @@ def test_ptmc_validates_ladder():
         mc.PTMC(betas=(1.0, 0.5))
     with pytest.raises(AssertionError):
         mc.PTMC(betas=(0.2, 0.7))
+
+
+def test_poisson_link_kernel():
+    """Poisson-link GLM kernel gradient matches autodiff (interpret mode)."""
+    import jax
+    from mcmc_jl_tpu.ops.pallas_glm import (
+        glm_hmc_leapfrogs, link_terms, pad_chains, pad_design,
+    )
+
+    rng = np.random.default_rng(2)
+    n, d = 40, 4
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, d - 1)) * 0.3]).astype(np.float32)
+    Y = rng.poisson(2.0, n).astype(np.float32)
+    ll_fn, resid_fn = link_terms("poisson")
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def logp(th):
+        z = Xj @ th
+        return jnp.sum(ll_fn(z, Yj)) - 0.5 * th @ th
+
+    theta = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1)
+    lp, g_auto = jax.value_and_grad(logp)(theta)
+    XT, Y2, d_pad = pad_design(X, Y)
+    th1, m1, g1, lp1 = glm_hmc_leapfrogs(
+        XT, Y2, pad_chains(theta[None], d_pad), jnp.zeros((1, d_pad), jnp.float32),
+        jnp.zeros((1, d_pad), jnp.float32), 0.0, n_leaps=1, block_chains=1,
+        interpret=True, kind="poisson",
+    )
+    np.testing.assert_allclose(float(lp1[0]), float(lp), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[0, :d]), np.asarray(g_auto),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_nuts_divergence_diagnostic():
+    """A pathological step size must report diverging transitions."""
+    m = mc.model(lambda v: -0.5 * jnp.dot(v, v) * 1e6, grad=lambda v: -1e6 * v,
+                 init=jnp.zeros(2) + 0.01)
+    chain = mc.run(m * mc.NUTS(4) * mc.SerialMC(steps=200), seed=0)
+    assert "diverging" in chain.diagnostics
+    # on a well-conditioned target, almost no divergences
+    m2 = mc.model(lambda v: -0.5 * jnp.dot(v, v), grad=lambda v: -v,
+                  init=jnp.ones(2))
+    c2 = mc.run(m2 * mc.NUTS() * mc.SerialMC(steps=400), seed=0)
+    assert np.mean(c2.diagnostics["diverging"]) < 0.05
