@@ -163,3 +163,18 @@ def test_wsample():
     w = np.array([0.0, 0.0, 1.0])
     out = mc.wsample(vals, w, 50)
     assert np.all(out == 2.0)
+
+
+def test_throughput_report():
+    from mcmc_jl_tpu.utils.profiling import throughput_report, timed
+
+    chain = _gaussian_chain(steps=1200, burnin=200)
+    rep = throughput_report(chain, n_chains=1, n_leaps=10)
+    assert rep["steps_per_sec"] > 0
+    assert rep["leapfrog_per_sec"] == rep["steps_per_sec"] * 10
+    assert "ess_per_sec" in rep and rep["ess_per_sec"] > 0
+
+    sink = []
+    with timed("block", sink=sink):
+        pass
+    assert sink and sink[0]["label"] == "block" and sink[0]["seconds"] >= 0
