@@ -37,7 +37,7 @@ from .runners.api import run, resume, prun
 from .stats import (
     mean, mean_rb, mcvar, mcse, var, std, ess, actime, acceptance, describe,
     wsample, linear_zv, quadratic_zv, linearZv, quadraticZv,
-    rhat, ess_pooled, summarize_chains,
+    rhat, ess_pooled, summarize_chains, mcmc_quantile,
 )
 
 # legacy alias matching the reference's MCMCLikModel typealias (likmodel.jl:69)
@@ -58,5 +58,5 @@ __all__ = [
     "run", "resume", "prun",
     "mean", "mean_rb", "mcvar", "mcse", "var", "std", "ess", "actime",
     "acceptance", "describe", "wsample", "linear_zv", "quadratic_zv", "linearZv",
-    "quadraticZv", "rhat", "ess_pooled", "summarize_chains",
+    "quadraticZv", "rhat", "ess_pooled", "summarize_chains", "mcmc_quantile",
 ]

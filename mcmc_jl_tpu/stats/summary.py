@@ -29,9 +29,14 @@ def acceptance(c: MCMCChain, lags=None, reject: bool = False):
     return s * 100.0 / rlen
 
 
-def describe(c: MCMCChain, io=None):
+def describe(c: MCMCChain, io=None, quantiles=(0.025, 0.25, 0.5, 0.75, 0.975)):
     """Per-column Min/Mean/Max/MC Error/ESS/AC Time/NAs report matching the
-    reference's output format (summary.jl:24-55, README.md:127-156)."""
+    reference's output format (summary.jl:24-55, README.md:127-156), plus
+    MCMC quantile estimates with MC standard errors — the reference's own
+    TODO (summary.jl:17-18, Flegal-Jones-Neath 2013).  Pass
+    ``quantiles=()`` for the reference's exact field set."""
+    from .quantile import mcmc_quantile
+
     io = io or sys.stdout
     x = _columns(c)
     nrows = x.shape[0]
@@ -55,6 +60,11 @@ def describe(c: MCMCChain, io=None):
         ]
         for sname, sval in stats:
             print(f"{sname:<10} {sval}", file=io)
+        if quantiles:
+            qest, qse = mcmc_quantile(filtered[:, None], list(quantiles))
+            for q, e, s in zip(quantiles, qest[:, 0], qse[:, 0]):
+                label = f"Q{100 * q:g}%"
+                print(f"{label:<10} {e} (MCSE {s:.6g})", file=io)
         print(f"NAs        {nas}", file=io)
         print(f"NA%        {round(nas * 100 / len(col), 2)}%", file=io)
         print(file=io)

@@ -178,3 +178,48 @@ def test_throughput_report():
     with timed("block", sink=sink):
         pass
     assert sink and sink[0]["label"] == "block" and sink[0]["seconds"] >= 0
+
+
+def test_mcmc_quantile_ar1():
+    """FJN13 quantile estimator: AR(1) chain targeting N(0, 1) — point
+    estimates near the true normal quantiles, MCSE honest (z-gate), and
+    wider than the naive iid MCSE for a positively correlated chain."""
+    from scipy import stats as sps
+
+    rng = np.random.default_rng(7)
+    rho, n = 0.5, 60000
+    innov = np.sqrt(1 - rho**2)
+    e = rng.standard_normal(n)
+    x = np.empty(n)
+    x[0] = e[0]
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + innov * e[t]
+
+    qs = [0.025, 0.5, 0.975]
+    est, se = mc.mcmc_quantile(x, qs)
+    truth = sps.norm.ppf(qs)
+    assert est.shape == (3, 1) and se.shape == (3, 1)
+    for i in range(3):
+        assert se[i, 0] > 0
+        assert abs(est[i, 0] - truth[i]) < 5 * se[i, 0] + 1e-3, (i, est, se)
+    # correlated chain: bm-based MCSE should exceed the iid-based one
+    _, se_iid = mc.mcmc_quantile(x, 0.5, vtype="iid")
+    assert se[1, 0] > se_iid[0]
+
+    # scalar-q convenience shape
+    e1, s1 = mc.mcmc_quantile(x, 0.5)
+    assert e1.shape == (1,) and s1.shape == (1,)
+
+
+def test_describe_includes_quantiles():
+    import io
+
+    chain = _gaussian_chain(steps=1500, burnin=300)
+    buf = io.StringIO()
+    mc.describe(chain, io=buf)
+    out = buf.getvalue()
+    assert "Q50%" in out and "Q2.5%" in out and "MCSE" in out
+    # reference-exact field set still available
+    buf2 = io.StringIO()
+    mc.describe(chain, io=buf2, quantiles=())
+    assert "Q50%" not in buf2.getvalue()
