@@ -26,6 +26,10 @@ from .base import (
     EmpMCTuner, RunCtx, Sampler, TuneState, metropolis_accept,
     pytree_dataclass, tuner_init, tuner_update,
 )
+from .massadapt import (
+    MassAccum, dense_transforms, mass_init, mass_kind, mass_update,
+    mass_vector_scale,
+)
 
 
 def leapfrog(model, pars, m, grad, eps):
@@ -49,14 +53,24 @@ class HMCState:
     grad: jnp.ndarray
     tune: TuneState
     i: jnp.ndarray
-    # Welford accumulators for diagonal mass-matrix warmup (mass_adapt=True):
-    # running posterior mean/M2 per coordinate; the estimated std becomes a
-    # per-coordinate leapfrog scale (equivalent to kinetic 1/2 p' M^-1 p with
-    # M = diag(1/var)).  Beyond the reference, whose only preconditioning is
-    # the static model.scale hint.
-    w_count: jnp.ndarray
-    w_mean: jnp.ndarray
-    w_m2: jnp.ndarray
+    # Mass-matrix warmup accumulators (massadapt.py): diagonal Welford
+    # (mass_adapt=True/"diag"), Stan-style windowed diagonal ("diag-win") or
+    # windowed dense metric ("dense").  Beyond the reference, whose only
+    # preconditioning is the static model.scale hint.
+    mass: MassAccum
+
+    # back-compat accessors for the original flat Welford fields
+    @property
+    def w_count(self):
+        return self.mass.count
+
+    @property
+    def w_mean(self):
+        return self.mass.mean
+
+    @property
+    def w_m2(self):
+        return self.mass.m2
 
 
 @dataclasses.dataclass(frozen=True, repr=False)
@@ -65,7 +79,8 @@ class HMC(Sampler):
     leap_step: float = 0.1
     store_leaps: bool = False
     tuner: Optional[EmpMCTuner] = None
-    mass_adapt: bool = False
+    #: False | True/"diag" (continuous Welford) | "diag-win" | "dense"
+    mass_adapt: object = False
 
     needs_gradient = True
 
@@ -105,7 +120,12 @@ class HMC(Sampler):
         object.__setattr__(self, "leap_step", float(leap_step))
         object.__setattr__(self, "store_leaps", bool(store_leaps))
         object.__setattr__(self, "tuner", tuner)
-        object.__setattr__(self, "mass_adapt", bool(mass_adapt))
+        mass_kind(mass_adapt)  # validate early
+        object.__setattr__(self, "mass_adapt", mass_adapt)
+
+    @property
+    def _kind(self):
+        return mass_kind(self.mass_adapt)
 
     # -- protocol ----------------------------------------------------------
     def init(self, model, theta0, key):
@@ -114,22 +134,12 @@ class HMC(Sampler):
             pars=theta0, logtarget=lp, grad=g,
             tune=tuner_init(self.leap_step, self.n_leaps),
             i=jnp.asarray(1, dtype=jnp.int32),
-            w_count=jnp.asarray(0, dtype=jnp.int32),
-            w_mean=jnp.zeros_like(theta0),
-            w_m2=jnp.zeros_like(theta0),
+            mass=mass_init(self._kind, theta0.shape[0], theta0.dtype),
         )
 
     def reset(self, model, state, theta):
         lp, g = model.evalallg(theta)
         return state.replace(pars=theta, logtarget=lp, grad=g)
-
-    def _mass_scale(self, state, dtype):
-        """Per-coordinate leapfrog scale sqrt(var-hat); identity until enough
-        warmup samples have accumulated."""
-        cnt = state.w_count.astype(dtype)
-        var = state.w_m2 / jnp.maximum(cnt - 1.0, 1.0)
-        s = jnp.sqrt(jnp.clip(var, 1e-6, 1e6))
-        return jnp.where(state.w_count >= 20, s, jnp.ones_like(s))
 
     def _max_leaps(self):
         return self.tuner.max_step if self.tuner is not None else self.n_leaps
@@ -143,10 +153,27 @@ class HMC(Sampler):
         else:
             eps = jnp.asarray(self.leap_step, dtype=dtype)
             nl = jnp.asarray(self.n_leaps, dtype=jnp.int32)
-        if self.mass_adapt:
-            # vector leapfrog step = eps * sqrt(var-hat): diagonal mass
-            # preconditioning folded into the integrator
-            eps = eps * self._mass_scale(state, dtype)
+        kind = self._kind
+        if kind == "dense":
+            # standardized coordinates theta = L z (unit-metric dynamics in z
+            # == dense inverse-mass Sigma-hat = L L' in theta)
+            import types
+
+            L = state.mass.scale.astype(dtype)
+            fwd, inv, gfwd, ginv = dense_transforms(L)
+            work_model = types.SimpleNamespace(
+                evalallg=lambda z: (lambda lp_g: (lp_g[0], gfwd(lp_g[1])))(
+                    model.evalallg(fwd(z))
+                )
+            )
+            pars0, grad0 = inv(state.pars), gfwd(state.grad)
+        else:
+            if kind is not None:
+                # vector leapfrog step = eps * scale: diagonal mass
+                # preconditioning folded into the integrator
+                eps = eps * mass_vector_scale(kind, state.mass, dtype)
+            work_model = model
+            pars0, grad0 = state.pars, state.grad
 
         m0 = jax.random.normal(k_mom, state.pars.shape, dtype=dtype)
         H0 = hamiltonian(state.logtarget, m0)
@@ -154,10 +181,10 @@ class HMC(Sampler):
         if not self.store_leaps:
             def body(j, carry):
                 pars, lp, g, m = carry
-                return leapfrog(model, pars, m, g, eps)
+                return leapfrog(work_model, pars, m, g, eps)
 
             pars, lp, g, m = jax.lax.fori_loop(
-                0, nl, body, (state.pars, state.logtarget, state.grad, m0)
+                0, nl, body, (pars0, state.logtarget, grad0, m0)
             )
             extra = {}
         else:
@@ -165,7 +192,7 @@ class HMC(Sampler):
 
             def sbody(carry, j):
                 pars, lp, g, m = carry
-                new = leapfrog(model, pars, m, g, eps)
+                new = leapfrog(work_model, pars, m, g, eps)
                 carry2 = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(j < nl, b, a), carry, new
                 )
@@ -174,13 +201,17 @@ class HMC(Sampler):
 
             (pars, lp, g, m), (traj_pars, traj_H) = jax.lax.scan(
                 sbody,
-                (state.pars, state.logtarget, state.grad, m0),
+                (pars0, state.logtarget, grad0, m0),
                 jnp.arange(max_leaps),
             )
+            if kind == "dense":  # trajectories back to theta-space
+                traj_pars = traj_pars @ L.T
             extra = {
                 "leaps_pars": jnp.concatenate([state.pars[None], traj_pars], axis=0),
                 "leaps_H": jnp.concatenate([H0[None], traj_H], axis=0),
             }
+        if kind == "dense":  # back to theta-space
+            pars, g = fwd(pars), ginv(g)
 
         H = hamiltonian(lp, m)
         ratio = H0 - H
@@ -193,18 +224,8 @@ class HMC(Sampler):
         tune = tuner_update(self.tuner, state.tune, state.i, accept, ctx.burnin,
                             with_leaps=True)
 
-        if self.mass_adapt:
-            # Welford update on the post-accept position, burn-in gated
-            adapting = state.i <= ctx.burnin
-            cnt = state.w_count + jnp.where(adapting, 1, 0)
-            cf = jnp.maximum(cnt.astype(dtype), 1.0)
-            delta = new_pars - state.w_mean
-            w_mean = jnp.where(adapting, state.w_mean + delta / cf, state.w_mean)
-            w_m2 = jnp.where(adapting,
-                             state.w_m2 + delta * (new_pars - w_mean),
-                             state.w_m2)
-        else:
-            cnt, w_mean, w_m2 = state.w_count, state.w_mean, state.w_m2
+        # mass-warmup accumulator transition on the post-accept position
+        mass = mass_update(kind, state.mass, new_pars, state.i, ctx.burnin)
 
         info = {
             "ppars": new_pars,
@@ -218,6 +239,6 @@ class HMC(Sampler):
         }
         return (
             HMCState(pars=new_pars, logtarget=new_lp, grad=new_grad, tune=tune,
-                     i=state.i + 1, w_count=cnt, w_mean=w_mean, w_m2=w_m2),
+                     i=state.i + 1, mass=mass),
             info,
         )

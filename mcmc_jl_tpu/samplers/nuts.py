@@ -30,6 +30,10 @@ import jax.numpy as jnp
 
 from .base import RunCtx, Sampler, pytree_dataclass
 from .hmc import hamiltonian, leapfrog
+from .massadapt import (
+    MassAccum, dense_transforms, mass_init, mass_kind, mass_update,
+    mass_vector_scale,
+)
 
 DELTAMAX = 100.0
 # dual-averaging constants (NUTS.jl:121-125)
@@ -50,12 +54,22 @@ class NUTSState:
     hbar: jnp.ndarray
     lebar: jnp.ndarray
     i: jnp.ndarray
-    # Welford accumulators for diagonal mass warmup (mass_adapt=True); the
-    # estimated std multiplies the momentum scale the way the reference's
-    # static model.scale does (NUTS.jl:73,138)
-    w_count: jnp.ndarray
-    w_mean: jnp.ndarray
-    w_m2: jnp.ndarray
+    # Mass-warmup accumulators (massadapt.py): continuous diagonal Welford
+    # (True/"diag"), Stan-style windowed diagonal ("diag-win"), or windowed
+    # dense metric ("dense")
+    mass: MassAccum
+
+    @property
+    def w_count(self):
+        return self.mass.count
+
+    @property
+    def w_mean(self):
+        return self.mass.mean
+
+    @property
+    def w_m2(self):
+        return self.mass.m2
 
 
 def _trailing_ones(k):
@@ -70,19 +84,19 @@ def _popcount(k):
 @dataclasses.dataclass(frozen=True, repr=False)
 class NUTS(Sampler):
     maxdoublings: int = 5
-    mass_adapt: bool = False
+    #: False | True/"diag" (continuous Welford) | "diag-win" | "dense"
+    mass_adapt: object = False
 
     needs_gradient = True
 
     def __post_init__(self):
         assert self.maxdoublings > 0, "max doublings should be > 0"
         assert self.maxdoublings < 20, "max doublings reasonably be < 20"
+        mass_kind(self.mass_adapt)  # validate early
 
-    def _mass_scale(self, state, dtype):
-        cnt = state.w_count.astype(dtype)
-        var = state.w_m2 / jnp.maximum(cnt - 1.0, 1.0)
-        s = jnp.sqrt(jnp.clip(var, 1e-6, 1e6))
-        return jnp.where(state.w_count >= 20, s, jnp.ones_like(s))
+    @property
+    def _kind(self):
+        return mass_kind(self.mass_adapt)
 
     # ------------------------------------------------------------------
     def init(self, model, theta0, key):
@@ -118,9 +132,8 @@ class NUTS(Sampler):
             hbar=jnp.asarray(0.0, dtype=theta0.dtype),
             lebar=jnp.asarray(0.0, dtype=theta0.dtype),
             i=jnp.asarray(1, dtype=jnp.int32),
-            w_count=jnp.asarray(0, dtype=jnp.int32),
-            w_mean=jnp.zeros_like(theta0),
-            w_m2=jnp.zeros_like(theta0),
+            mass=mass_init(self._kind, theta0.shape[0], theta0.dtype,
+                           scale0=model.scale),
         )
 
     def reset(self, model, state, theta):
@@ -218,27 +231,39 @@ class NUTS(Sampler):
         d = state.pars.shape[0]
         k_mom, k_slice, k_tree = jax.random.split(key, 3)
 
-        if self.mass_adapt:
-            # Preconditioned NUTS in standardized coordinates z = theta / s:
-            # run a *unit-metric* tree on lp_z(z) = lp(s z) (grad_z = s *
-            # grad_theta), which is exactly NUTS with diagonal mass
-            # M = diag(1/s^2).  (The reference's momentum-scaling shortcut,
-            # NUTS.jl:138 + H = 0.5|m|^2, is only a valid Hamiltonian pair
-            # for unit scale, so the adapted metric uses this reparam.)
+        kind = self._kind
+        if kind is not None:
+            # Preconditioned NUTS in standardized coordinates theta = S z:
+            # run a *unit-metric* tree on lp_z(z) = lp(S z) (grad_z = S'
+            # grad_theta), which is exactly NUTS with mass M = (S S')^{-1}.
+            # (The reference's momentum-scaling shortcut, NUTS.jl:138 +
+            # H = 0.5|m|^2, is only a valid Hamiltonian pair for unit scale,
+            # so the adapted metric uses this reparam.)  S is a vector for
+            # the diagonal kinds, the windowed-covariance Cholesky factor
+            # (seeded with diag(model.scale)) for "dense".
             import types
 
-            s_vec = model.scale.astype(dtype) * self._mass_scale(state, dtype)
+            if kind == "dense":
+                L = state.mass.scale.astype(dtype)
+                fwd, inv, gfwd, ginv = dense_transforms(L)
+            else:
+                s_vec = model.scale.astype(dtype) * mass_vector_scale(
+                    kind, state.mass, dtype
+                )
+                fwd = lambda z: z * s_vec
+                inv = lambda t: t / s_vec
+                gfwd = lambda g: g * s_vec
+                ginv = lambda g: g / s_vec
 
             def evalallg_z(z):
-                lp, g = model.evalallg(z * s_vec)
-                return lp, g * s_vec
+                lp, g = model.evalallg(fwd(z))
+                return lp, gfwd(g)
 
             tree_model = types.SimpleNamespace(evalallg=evalallg_z)
-            pars_t = state.pars / s_vec
-            grad_t = state.grad * s_vec
+            pars_t = inv(state.pars)
+            grad_t = gfwd(state.grad)
             scale = jnp.ones((d,), dtype=dtype)
         else:
-            s_vec = None
             tree_model = model
             pars_t = state.pars
             grad_t = state.grad
@@ -303,9 +328,9 @@ class NUTS(Sampler):
         }
         out = jax.lax.while_loop(cond, body, init)
         new_pars, new_lp, new_grad = out["prop"]
-        if self.mass_adapt:  # back to theta-space
-            new_pars = new_pars * s_vec
-            new_grad = new_grad / s_vec
+        if kind is not None:  # back to theta-space
+            new_pars = fwd(new_pars)
+            new_grad = ginv(new_grad)
 
         # --- dual averaging (NUTS.jl:162-169) ----------------------------
         i = state.i.astype(dtype)
@@ -318,17 +343,7 @@ class NUTS(Sampler):
         new_hbar = jnp.where(in_adapt, hbar, state.hbar)
         new_lebar = jnp.where(in_adapt, lebar, state.lebar)
 
-        if self.mass_adapt:
-            adapting = state.i <= ctx.burnin
-            cnt = state.w_count + jnp.where(adapting, 1, 0)
-            cf = jnp.maximum(cnt.astype(dtype), 1.0)
-            delta = new_pars - state.w_mean
-            w_mean = jnp.where(adapting, state.w_mean + delta / cf, state.w_mean)
-            w_m2 = jnp.where(adapting,
-                             state.w_m2 + delta * (new_pars - w_mean),
-                             state.w_m2)
-        else:
-            cnt, w_mean, w_m2 = state.w_count, state.w_mean, state.w_m2
+        mass = mass_update(kind, state.mass, new_pars, state.i, ctx.burnin)
 
         info = {
             "ppars": new_pars,
@@ -346,7 +361,7 @@ class NUTS(Sampler):
             NUTSState(
                 pars=new_pars, logtarget=new_lp, grad=new_grad,
                 epsilon=new_eps, mu=state.mu, hbar=new_hbar, lebar=new_lebar,
-                i=state.i + 1, w_count=cnt, w_mean=w_mean, w_m2=w_m2,
+                i=state.i + 1, mass=mass,
             ),
             info,
         )

@@ -70,3 +70,77 @@ def test_nuts_mass_adapt():
     assert min(mc.ess(c_mass)) > 1.5 * min(mc.ess(c_plain)), (
         mc.ess(c_plain), mc.ess(c_mass))
     assert int(c_mass.task.state.w_count) == 1500
+
+
+CORR = 0.95
+SCALES = np.array([3.0, 1.0, 0.5, 2.0])
+
+
+def _corr_model():
+    d = len(SCALES)
+    sig = (np.full((d, d), CORR) + (1 - CORR) * np.eye(d)) * np.outer(SCALES, SCALES)
+    prec = jnp.asarray(np.linalg.inv(sig))
+    return sig, mc.model(lambda v: -0.5 * v @ prec @ v, gradient=True,
+                         init=jnp.zeros(d), check_init=False)
+
+
+def test_dense_mass_beats_diag_on_correlated_target():
+    """Windowed dense metric (Stan-style expanding windows) on a strongly
+    correlated, badly scaled Gaussian: correct covariance and a large
+    worst-coordinate ESS gain over the diagonal metric."""
+    sig, m = _corr_model()
+    r = mc.SerialMC(steps=6000, burnin=2000)
+    c_diag = mc.run(m * mc.HMC(10, 0.25, mass_adapt=True) * r, seed=0)
+    c_dense = mc.run(m * mc.HMC(10, 0.25, mass_adapt="dense") * r, seed=0)
+
+    x = c_dense.samples.values
+    relerr = np.abs(np.cov(x.T) - sig).max() / sig.max()
+    assert relerr < 0.15, relerr
+    assert min(mc.ess(c_dense)) > 5 * min(mc.ess(c_diag)), (
+        mc.ess(c_diag), mc.ess(c_dense))
+    assert mc.acceptance(c_dense) > 80
+
+    # the adapted Cholesky factor reconstructs the target covariance
+    L = np.asarray(c_dense.task.state.mass.scale)
+    np.testing.assert_allclose(L @ L.T, sig, rtol=0.5, atol=0.3 * sig.max())
+
+
+def test_nuts_dense_mass():
+    sig, m = _corr_model()
+    r = mc.SerialMC(steps=4000, burnin=2000)
+    c_diag = mc.run(m * mc.NUTS(mass_adapt="diag-win") * r, seed=0)
+    c_dense = mc.run(m * mc.NUTS(mass_adapt="dense") * r, seed=0)
+    x = c_dense.samples.values
+    relerr = np.abs(np.cov(x.T) - sig).max() / sig.max()
+    assert relerr < 0.2, relerr
+    assert min(mc.ess(c_dense)) > 3 * min(mc.ess(c_diag)), (
+        mc.ess(c_diag), mc.ess(c_dense))
+
+
+def test_windowed_diag_schedule_and_freeze():
+    """diag-win: scale re-estimated at expanding window ends, frozen after
+    burn-in; accumulators reset at each window close."""
+    m = _model()
+    c = mc.run(m * mc.HMC(10, 0.5, mass_adapt="diag-win")
+               * mc.SerialMC(steps=2000, burnin=1000), seed=3)
+    st = c.task.state
+    s = np.asarray(st.mass.scale)
+    # adapted scale should approximate the marginal sds (10, 1, 0.1)
+    np.testing.assert_allclose(s, SDS, rtol=0.5)
+    # post-burnin: accumulation stopped (count reset at last window close and
+    # never incremented past adapt_end)
+    assert int(st.mass.count) == 0
+    # resume keeps the frozen metric bit-exact
+    c2 = mc.resume(c, steps=200)
+    np.testing.assert_array_equal(np.asarray(c2.task.state.mass.scale), s)
+    x = c.samples.values
+    np.testing.assert_allclose(x.std(axis=0, ddof=1), SDS, rtol=0.35)
+
+
+def test_mass_adapt_flag_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mc.HMC(10, 0.5, mass_adapt="bogus")
+    with pytest.raises(ValueError):
+        mc.NUTS(mass_adapt="bogus")
