@@ -19,21 +19,23 @@ from .pallas_glm import glm_hmc_leapfrogs, pad_chains, pad_design
 
 
 @partial(jax.jit, static_argnames=("steps", "n_leaps", "block_chains",
-                                   "interpret", "mxu_dtype", "kind"))
+                                   "interpret", "mxu_dtype", "kind", "lam"))
 def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
-         mxu_dtype=jnp.float32, kind="logistic"):
+         mxu_dtype=jnp.float32, kind="logistic", W=None, O=None, lam=1.0):
     C, d_pad = theta0.shape
     from .pallas_glm import link_terms
     ll_fn, resid_fn = link_terms(kind)
 
     def logp_grad(theta):
         logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
+        if O is not None:
+            logits = logits + O
         r = resid_fn(logits, Y)
-        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - theta
-        lp = (
-            jnp.sum(ll_fn(logits, Y), axis=1)
-            - 0.5 * jnp.sum(theta * theta, axis=1)
-        )
+        ll = ll_fn(logits, Y)
+        if W is not None:
+            r, ll = W * r, W * ll
+        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - lam * theta
+        lp = jnp.sum(ll, axis=1) - 0.5 * lam * jnp.sum(theta * theta, axis=1)
         return lp, g
 
     lp0, g0 = logp_grad(theta0)
@@ -47,6 +49,7 @@ def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
             XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
             block_chains=block_chains, interpret=interpret,
             mxu_dtype=mxu_dtype, kind=kind,
+            weights=W, offsets=O, prior_prec=lam,
         )
         H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
         ratio = H0 - H
@@ -65,12 +68,17 @@ def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
 
 def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
                 key=None, inits=None, block_chains=256, interpret=False,
-                mxu_dtype=jnp.float32, kind="logistic"):
-    """Sample the logistic posterior with the fused Pallas HMC path.
+                mxu_dtype=jnp.float32, kind="logistic",
+                weights=None, offsets=None, prior_prec=1.0):
+    """Sample a GLM posterior with the fused Pallas HMC path.
 
+    ``kind`` is a built-in link name or a custom ``(ll, resid)`` pair;
+    ``weights``/``offsets`` are optional per-observation (N,) arrays;
+    ``prior_prec`` is the N(0, 1/lam I) prior precision.
     Returns (theta (C, d), infos {plogtarget, accept} stacked over steps).
     """
     XT, Y2, d_pad = pad_design(X, Y)
+    N = XT.shape[1]
     d = X.shape[1]
     if key is None:
         key = jax.random.PRNGKey(seed)
@@ -79,7 +87,12 @@ def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
         inits = 0.1 * jax.random.normal(k_init, (n_chains, d), dtype=jnp.float32)
     theta0 = pad_chains(jnp.asarray(inits, dtype=jnp.float32), d_pad)
     block = min(block_chains, n_chains)
+    W = (None if weights is None
+         else jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
+    O = (None if offsets is None
+         else jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
     theta, infos = _run(XT, Y2, theta0, jnp.float32(eps), k_run, steps=steps,
                         n_leaps=n_leaps, block_chains=block,
-                        interpret=interpret, mxu_dtype=mxu_dtype, kind=kind)
+                        interpret=interpret, mxu_dtype=mxu_dtype, kind=kind,
+                        W=W, O=O, lam=float(prior_prec))
     return theta[:, :d], infos

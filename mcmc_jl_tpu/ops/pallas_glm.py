@@ -39,7 +39,18 @@ def link_terms(kind):
 
     ``ll(z, y)`` is the elementwise log-likelihood of linear predictor z;
     ``resid(z, y)`` is r such that d loglik / d theta = r @ X.
+
+    ``kind`` is a link name, or a ``(ll, resid)`` pair of jax-traceable
+    elementwise callables for custom likelihoods (they run inside the fused
+    kernel, so any family whose log-lik is elementwise in the linear
+    predictor gets the speed-of-light path).
     """
+    if isinstance(kind, tuple):
+        ll_fn, resid_fn = kind
+        assert callable(ll_fn) and callable(resid_fn), (
+            "custom link must be a (ll(z, y), resid(z, y)) pair of callables"
+        )
+        return ll_fn, resid_fn
     if kind == "logistic":
         return (
             lambda z, y: z * y - jax.nn.softplus(z),
@@ -75,36 +86,60 @@ def jsp_log_ndtr(z):
     return jsp.log_ndtr(z)
 
 
-def _kernel(eps_ref, xt_ref, y_ref, theta_ref, m_ref, grad_ref,
-            theta_out, m_out, grad_out, lp_out, *, n_leaps, mxu_dtype, kind):
-    """One HMC trajectory (n_leaps leapfrogs) for a block of chains."""
+def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior):
+    """One HMC trajectory (n_leaps leapfrogs) for a block of chains.
+
+    ``use_w``/``use_o``/``unit_prior`` are trace-time flags: the default
+    unweighted / no-offset / unit-prior path compiles with zero extra ops
+    (and zero extra VMEM inputs) in the hot loop."""
+    it = iter(refs)
+    eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
+    w_ref = next(it) if use_w else None
+    o_ref = next(it) if use_o else None
+    theta_ref, m_ref, grad_ref = (next(it) for _ in range(3))
+    theta_out, m_out, grad_out, lp_out = list(it)
+
     eps = eps_ref[0, 0]
+    lam = lam_ref[0, 0]  # N(0, 1/lam) prior precision
     xt = xt_ref[:].astype(mxu_dtype)   # (d_pad, N)
     xtt = xt_ref[:].T.astype(mxu_dtype)
     y = y_ref[:]              # (1, N)
+    w = w_ref[:] if use_w else None   # (1, N) per-observation weights
+    o = o_ref[:] if use_o else None   # (1, N) linear-predictor offsets
     ll_fn, resid_fn = link_terms(kind)
+
+    def predictor(theta):
+        z = jnp.dot(theta.astype(mxu_dtype), xt,
+                    preferred_element_type=jnp.float32)  # (C, N)
+        return z + o if use_o else z
+
+    def prior_grad(theta):
+        return lam * theta if not unit_prior else theta
 
     def grad_only(theta):
         # matmuls feed the MXU in mxu_dtype (bf16 doubles throughput on the
         # systolic array); accumulation stays f32.  Only the gradient is
         # needed inside the trajectory — the log-lik terms (softplus /
         # log_ndtr transcendentals) are evaluated once at the end.
-        logits = jnp.dot(theta.astype(mxu_dtype), xt,
-                         preferred_element_type=jnp.float32)  # (C, N)
-        r = resid_fn(logits, y)
-        # grad = r @ X - theta ; X = xt.T
+        r = resid_fn(predictor(theta), y)
+        if use_w:
+            r = w * r
+        # grad = r @ X - lam * theta ; X = xt.T
         return jnp.dot(r.astype(mxu_dtype), xtt,
-                       preferred_element_type=jnp.float32) - theta
+                       preferred_element_type=jnp.float32) - prior_grad(theta)
 
     def logp_grad(theta):
-        logits = jnp.dot(theta.astype(mxu_dtype), xt,
-                         preferred_element_type=jnp.float32)
+        logits = predictor(theta)
         r = resid_fn(logits, y)
+        ll = ll_fn(logits, y)
+        if use_w:
+            r = w * r
+            ll = w * ll
         g = jnp.dot(r.astype(mxu_dtype), xtt,
-                    preferred_element_type=jnp.float32) - theta
-        lp = (
-            jnp.sum(ll_fn(logits, y), axis=1, keepdims=True)
-            - 0.5 * jnp.sum(theta * theta, axis=1, keepdims=True)
+                    preferred_element_type=jnp.float32) - prior_grad(theta)
+        quad = jnp.sum(theta * theta, axis=1, keepdims=True)
+        lp = jnp.sum(ll, axis=1, keepdims=True) - 0.5 * (
+            quad if unit_prior else lam * quad
         )
         return lp, g
 
@@ -130,11 +165,13 @@ def _kernel(eps_ref, xt_ref, y_ref, theta_ref, m_ref, grad_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
-                     "kind"),
+                     "kind", "_use_w", "_use_o", "_unit_prior"),
 )
-def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
-                      block_chains=256, interpret=False,
-                      mxu_dtype=jnp.float32, kind="logistic"):
+def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
+                     block_chains=256, interpret=False,
+                     mxu_dtype=jnp.float32, kind="logistic",
+                     weights=None, offsets=None, prior_prec=1.0,
+                     _use_w=False, _use_o=False, _unit_prior=True):
     """Run ``n_leaps`` fused leapfrogs for all chains.
 
     Args:
@@ -143,6 +180,10 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
       Y:  (1, N) responses.
       theta, m, grad: (C, d_pad) chain state (padded cols must be zero).
       eps: scalar leapfrog step.
+      kind: link name or custom ``(ll, resid)`` callable pair.
+      weights: optional (N,) or (1, N) per-observation log-lik weights.
+      offsets: optional (N,) or (1, N) linear-predictor offsets.
+      prior_prec: N(0, 1/lam I) prior precision lam (traced scalar OK).
     Returns: (theta, m, grad, logp) with logp shape (C,).
     """
     from jax.experimental import pallas as pl
@@ -153,20 +194,35 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     blk = min(block_chains, C)
     assert C % blk == 0, f"chains ({C}) must divide block ({blk})"
     eps = jnp.float32(eps)
+    lam = jnp.asarray(prior_prec, dtype=jnp.float32)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    inputs = [jnp.reshape(eps, (1, 1)), jnp.reshape(lam, (1, 1)), XT, Y]
+    in_specs = [
+        smem_spec, smem_spec,
+        pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        obs_spec,
+    ]
+    if _use_w:
+        inputs.append(jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    if _use_o:
+        inputs.append(jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    inputs += [theta, m, grad]
+    in_specs += [chain_spec, chain_spec, chain_spec]
+
     out = pl.pallas_call(
         functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
-                          kind=kind),
+                          kind=kind, use_w=_use_w, use_o=_use_o,
+                          unit_prior=_unit_prior),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            chain_spec, chain_spec, chain_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[chain_spec, chain_spec, chain_spec,
                    pl.BlockSpec((blk, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
@@ -177,9 +233,26 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
             jax.ShapeDtypeStruct((C, LANE), theta.dtype),
         ],
         interpret=interpret,
-    )(jnp.reshape(eps, (1, 1)), XT, Y, theta, m, grad)
+    )(*inputs)
     theta, m, grad, lp = out
     return theta, m, grad, lp[:, 0]
+
+
+def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
+                      block_chains=256, interpret=False,
+                      mxu_dtype=jnp.float32, kind="logistic",
+                      weights=None, offsets=None, prior_prec=1.0):
+    """Public fused-trajectory entry (docs on :func:`_leapfrogs_inner`).
+    Derives the trace-time specialization flags, so the default call compiles
+    the exact pre-extension kernel."""
+    unit = isinstance(prior_prec, (int, float)) and float(prior_prec) == 1.0
+    return _leapfrogs_inner(
+        XT, Y, theta, m, grad, eps, n_leaps=n_leaps,
+        block_chains=block_chains, interpret=interpret, mxu_dtype=mxu_dtype,
+        kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
+        _use_w=weights is not None, _use_o=offsets is not None,
+        _unit_prior=unit,
+    )
 
 
 def pad_design(X, Y, dtype=jnp.float32):

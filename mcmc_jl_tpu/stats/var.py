@@ -87,7 +87,13 @@ def _geyer(x, maxlag=None, monotone=True):
             for j in range(1, m):
                 if g[j] > g[j - 1]:
                     g[j] = g[j - 1]
-        out[c] = (-acv[0, c] + 2 * np.sum(g[:m])) / n
+        v = (-acv[0, c] + 2 * np.sum(g[:m])) / n
+        # Antithetic chains (pair sum Gamma_0 <= 0) can drive the estimate
+        # negative — the reference's identical formula would report negative
+        # variance/ESS there (var.jl:45-91 has no guard).  Floor it so that
+        # ESS <= n*log10(n), the usual super-efficiency cap (cf. Stan).
+        floor = acv[0, c] / (n * max(np.log10(max(n, 10)), 1.0))
+        out[c] = max(v, floor)
     return out
 
 

@@ -53,7 +53,8 @@ def throughput_report(chain, n_chains=1, n_leaps=None):
         "steps_per_sec": nsteps * n_chains / dt,
     }
     if n_leaps is not None:
-        rep["leapfrog_per_sec"] = nsteps * n_chains * n_leaps / dt
+        # derive from steps_per_sec so the two rates are exactly consistent
+        rep["leapfrog_per_sec"] = rep["steps_per_sec"] * n_leaps
     try:
         e = np.asarray(ess(chain))
         rep["ess_per_param"] = e

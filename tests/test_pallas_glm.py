@@ -163,3 +163,76 @@ def test_linear_link_posterior_matches_ridge():
     mean = np.linalg.solve(P, X.T @ Y)
     est = np.asarray(theta).mean(0)
     np.testing.assert_allclose(est, mean, atol=0.2)
+
+
+def test_weights_offsets_prior_match_autodiff():
+    """Weighted + offset GLM with non-unit prior precision: kernel lp/grad
+    agree with jax.grad of the same weighted logp."""
+    rng = np.random.default_rng(11)
+    n, d = 40, 4
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, d - 1))]).astype(np.float32)
+    Y = (rng.random(n) < 0.5).astype(np.float32)
+    w = rng.uniform(0.5, 3.0, n).astype(np.float32)
+    o = rng.standard_normal(n).astype(np.float32) * 0.3
+    lam = 2.5
+
+    Xj, Yj, wj, oj = map(jnp.asarray, (X, Y, w, o))
+
+    def logp(th):
+        z = Xj @ th + oj
+        ll = z * Yj - jnp.logaddexp(0.0, z)
+        return jnp.sum(wj * ll) - 0.5 * lam * th @ th
+
+    theta = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.2)
+    lp, g_auto = jax.value_and_grad(logp)(theta)
+
+    XT, Y2, d_pad = pad_design(X, Y)
+    th_p = pad_chains(theta[None, :], d_pad)
+    th1, m1, g1, lp1 = glm_hmc_leapfrogs(
+        XT, Y2, th_p, jnp.zeros_like(th_p), jnp.zeros_like(th_p), 0.0,
+        n_leaps=1, block_chains=1, interpret=True,
+        weights=w, offsets=o, prior_prec=lam,
+    )
+    np.testing.assert_allclose(float(lp1[0]), float(lp), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[0, :d]), np.asarray(g_auto),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_custom_link_exponential_survival():
+    """User-supplied (ll, resid) pair runs in the fused kernel: exponential
+    survival with log-rate link, y ~ Exp(rate = exp(z))."""
+    rng = np.random.default_rng(13)
+    n, d = 60, 3
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, d - 1))]).astype(np.float32)
+    beta = np.array([0.3, -0.5, 0.2])
+    Y = rng.exponential(1.0 / np.exp(X @ beta)).astype(np.float32)
+
+    custom = (
+        lambda z, y: z - y * jnp.exp(z),          # loglik
+        lambda z, y: 1.0 - y * jnp.exp(z),        # d loglik / dz
+    )
+
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def logp(th):
+        z = Xj @ th
+        return jnp.sum(z - Yj * jnp.exp(z)) - 0.5 * th @ th
+
+    theta = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1)
+    lp, g_auto = jax.value_and_grad(logp)(theta)
+
+    XT, Y2, d_pad = pad_design(X, Y)
+    th_p = pad_chains(theta[None, :], d_pad)
+    th1, m1, g1, lp1 = glm_hmc_leapfrogs(
+        XT, Y2, th_p, jnp.zeros_like(th_p), jnp.zeros_like(th_p), 0.0,
+        n_leaps=1, block_chains=1, interpret=True, kind=custom,
+    )
+    np.testing.assert_allclose(float(lp1[0]), float(lp), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[0, :d]), np.asarray(g_auto),
+                               rtol=2e-4, atol=2e-4)
+
+    # full fused sampler with the custom link recovers beta
+    theta_s, infos = run_glm_hmc(X, Y, n_chains=64, steps=500, n_leaps=5,
+                                 eps=0.04, seed=0, interpret=True, kind=custom)
+    assert np.mean(np.asarray(infos["accept"])) > 0.5
+    np.testing.assert_allclose(np.asarray(theta_s).mean(0), beta, atol=0.35)

@@ -223,3 +223,22 @@ def test_describe_includes_quantiles():
     buf2 = io.StringIO()
     mc.describe(chain, io=buf2, quantiles=())
     assert "Q50%" not in buf2.getvalue()
+
+
+def test_geyer_floor_on_antithetic_chain():
+    """Strongly antithetic sequence: IMSE/IPSE must stay positive (the
+    floor caps implied ESS at ~n*log10(n)); iid variance unaffected."""
+    rng = np.random.default_rng(9)
+    n = 4000
+    # AR(1) with rho ~ -0.95: wildly super-efficient for the mean
+    rho = -0.95
+    e = rng.standard_normal(n)
+    x = np.empty(n)
+    x[0] = e[0]
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + np.sqrt(1 - rho**2) * e[t]
+    v_imse = mcvar_imse(x)
+    v_ipse = mcvar_ipse(x)
+    assert v_imse[0] > 0 and v_ipse[0] > 0
+    ess = n * mcvar_iid(x) / v_imse
+    assert ess[0] <= n * np.log10(n) * 1.2
