@@ -83,8 +83,8 @@ def _resample(pars, logW, logtarget, key, trigger, ess_trigger):
 
 @partial(jax.jit, static_argnames=("samplers", "ctxs", "steps", "trigger",
                                    "ess_trigger"))
-def _seqmc_scan(models, samplers, ctxs, states, pars, key, *, steps, trigger,
-                ess_trigger):
+def _seqmc_scan(models, samplers, ctxs, states, pars, logW0, key, *, steps,
+                trigger, ess_trigger):
     npart = pars.shape[0]
     ntargets = len(samplers)
 
@@ -105,11 +105,10 @@ def _seqmc_scan(models, samplers, ctxs, states, pars, key, *, steps, trigger,
         logtarget = jnp.zeros((npart,), dtype=pars.dtype)
         return (states, pars, logW, logtarget), out
 
-    logW = jnp.zeros((npart,), dtype=pars.dtype)
     logtarget = jnp.zeros((npart,), dtype=pars.dtype)
     keys = jax.random.split(key, steps)
     (states, pars, logW, logtarget), ys = jax.lax.scan(
-        one_step, (states, pars, logW, logtarget), keys
+        one_step, (states, pars, logW0, logtarget), keys
     )
     return states, ys
 
@@ -146,20 +145,30 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
         )
         states.append(st)
 
-    # exact continuation: reuse particle positions/weights from a prior run
+    # exact continuation: reuse particle positions, weights and per-target
+    # sampler states (incl. tuner/DA adaptation) from a prior run
     carried = getattr(runner, "_carry", None)
     if targets[-1].state is not None and isinstance(targets[-1].state, dict):
         carried = targets[-1].state
+    logW0 = jnp.zeros((npart,), dtype=pars.dtype)
     if carried is not None:
         pars = jnp.asarray(carried["pars"], dtype=pars.dtype)
         npart = pars.shape[0]
+        if "logW" in carried:
+            logW0 = jnp.asarray(carried["logW"], dtype=pars.dtype)
+        c_states = carried.get("states")
+        if c_states is not None and len(c_states) == ntargets:
+            lead = jax.tree_util.tree_leaves(c_states)[0].shape[0]
+            if lead == npart:
+                states = [jax.tree_util.tree_map(jnp.asarray, s)
+                          for s in c_states]
 
     key, k_run = jax.random.split(key)
     states, (all_pars, all_W, all_var) = _seqmc_scan(
         tuple(t.model for t in targets),
         tuple(t.sampler for t in targets),
         tuple(RunCtx(burnin=t.runner.burnin) for t in targets),
-        tuple(states), pars, k_run,
+        tuple(states), pars, logW0, k_run,
         steps=steps, trigger=runner.trigger, ess_trigger=runner.ess_trigger,
     )
 
@@ -176,8 +185,11 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
     nkept = steps - burnin
     # carry the live particle ensemble for exact resume (the reference's
     # resume_seqmc re-runs from scratch, SeqMC.jl:125-128)
-    final_carry = {"pars": np.asarray(all_pars[-1]),
-                   "logW": np.log(np.maximum(all_W[-1], 1e-300))}
+    final_carry = {
+        "pars": np.asarray(all_pars[-1]),
+        "logW": np.log(np.maximum(all_W[-1], 1e-300)),
+        "states": tuple(jax.tree_util.tree_map(np.asarray, s) for s in states),
+    }
     new_targets = [
         MCMCTask(t.model, t.sampler, t.runner, state=final_carry, key=key,
                  pos=t.pos + steps)
