@@ -86,6 +86,12 @@ class NUTS(Sampler):
     maxdoublings: int = 5
     #: False | True/"diag" (continuous Welford) | "diag-win" | "dense"
     mass_adapt: object = False
+    #: False = reference-parity slice NUTS (Hoffman-Gelman Alg. 6);
+    #: True = multinomial state selection (Betancourt 2017, Stan's current
+    #: sampler): leaves weighted by exp(-H) instead of the slice indicator,
+    #: subtree merges by logsumexp-weighted reservoir, outer merge biased
+    #: toward the new subtree.  Better ESS/gradient at identical cost.
+    multinomial: bool = False
 
     needs_gradient = True
 
@@ -144,7 +150,13 @@ class NUTS(Sampler):
     def _build_subtree(self, model, z_edge, eps_signed, dirn, n_leaves, u_slice,
                        H0, key):
         """Iteratively build a subtree of ``n_leaves`` leapfrog leaves from
-        the edge state; returns (z_end, prop, n_valid, ok, alpha, nalpha)."""
+        the edge state; returns (z_end, prop, n_valid, ok, alpha, nalpha,
+        diverged, logweight).
+
+        Slice mode: proposal = uniform reservoir over slice-valid leaves.
+        Multinomial mode: proposal = exp(H0 - H)-weighted reservoir over all
+        non-diverged leaves (progressive sampling is distributionally
+        identical to the recursive pairwise multinomial merge)."""
         pars, m, lp, grad = z_edge
         d = pars.shape[0]
         dtype = pars.dtype
@@ -161,17 +173,29 @@ class NUTS(Sampler):
             pars, lp, grad, m = leapfrog(model, c["pars"], c["m"], c["grad"],
                                          eps_signed)
             H = hamiltonian(lp, m)
-            leaf_valid = u_slice <= -H  # NUTS.jl:91
             diverged = (u_slice >= DELTAMAX - H) | jnp.isnan(H)  # NUTS.jl:92
             leaf_ok = ~diverged
             alpha_leaf = jnp.minimum(1.0, jnp.exp(H0 - H))
             alpha_leaf = jnp.where(jnp.isnan(alpha_leaf), 0.0, alpha_leaf)
 
+            if self.multinomial:
+                # Boltzmann-weighted reservoir (Betancourt 2017 A.3.1)
+                leaf_valid = leaf_ok
+                lw_leaf = jnp.where(diverged, -jnp.inf, H0 - H)
+                lw_new = jnp.logaddexp(c["lw"], lw_leaf)
+                take = leaf_ok & (
+                    jnp.log(jax.random.uniform(k_sel, (), dtype=dtype))
+                    < lw_leaf - lw_new
+                )
+            else:
+                leaf_valid = u_slice <= -H  # NUTS.jl:91
+                lw_new = c["lw"]
+                # reservoir: uniform among valid leaves == recursive n2/(n1+n2)
+                take = leaf_valid & (
+                    jax.random.uniform(k_sel, (), dtype=dtype)
+                    * (c["n"] + leaf_valid.astype(jnp.int32)).astype(dtype) < 1.0
+                )
             n_new = c["n"] + leaf_valid.astype(jnp.int32)
-            # reservoir: uniform among valid leaves == recursive n2/(n1+n2)
-            take = leaf_valid & (
-                jax.random.uniform(k_sel, (), dtype=dtype) * n_new.astype(dtype) < 1.0
-            )
             prop_pars = jnp.where(take, pars, c["prop_pars"])
             prop_lp = jnp.where(take, lp, c["prop_lp"])
             prop_grad = jnp.where(take, grad, c["prop_grad"])
@@ -205,7 +229,7 @@ class NUTS(Sampler):
             return {
                 "k": k + 1, "pars": pars, "lp": lp, "grad": grad, "m": m,
                 "prop_pars": prop_pars, "prop_lp": prop_lp, "prop_grad": prop_grad,
-                "n": n_new, "ok": ok, "div": c["div"] | diverged,
+                "n": n_new, "lw": lw_new, "ok": ok, "div": c["div"] | diverged,
                 "alpha": c["alpha"] + alpha_leaf, "nalpha": c["nalpha"] + 1,
                 "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
             }
@@ -214,7 +238,8 @@ class NUTS(Sampler):
             "k": jnp.asarray(0, jnp.int32), "pars": pars, "lp": lp, "grad": grad,
             "m": m,
             "prop_pars": pars, "prop_lp": lp, "prop_grad": grad,
-            "n": jnp.asarray(0, jnp.int32), "ok": jnp.asarray(True),
+            "n": jnp.asarray(0, jnp.int32), "lw": jnp.asarray(-jnp.inf, dtype),
+            "ok": jnp.asarray(True),
             "div": jnp.asarray(False),
             "alpha": jnp.asarray(0.0, dtype), "nalpha": jnp.asarray(0, jnp.int32),
             "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
@@ -223,7 +248,7 @@ class NUTS(Sampler):
         z_end = (out["pars"], out["m"], out["lp"], out["grad"])
         prop = (out["prop_pars"], out["prop_lp"], out["prop_grad"])
         return (z_end, prop, out["n"], out["ok"], out["alpha"], out["nalpha"],
-                out["div"])
+                out["div"], out["lw"])
 
     # ------------------------------------------------------------------
     def step(self, model, ctx: RunCtx, state, key):
@@ -271,8 +296,13 @@ class NUTS(Sampler):
 
         m0 = jax.random.normal(k_mom, (d,), dtype=dtype) * scale
         H0 = hamiltonian(state.logtarget, m0)
-        # log-space slice variable (NUTS.jl:141)
-        u_slice = jnp.log(jax.random.uniform(k_slice, (), dtype=dtype)) - H0
+        if self.multinomial:
+            # no slice variable; u_slice = -H0 makes the shared divergence
+            # gate read H - H0 >= DELTAMAX (Stan's criterion)
+            u_slice = -H0
+        else:
+            # log-space slice variable (NUTS.jl:141)
+            u_slice = jnp.log(jax.random.uniform(k_slice, (), dtype=dtype)) - H0
 
         eps = state.epsilon
         z0 = (pars_t, m0, state.logtarget, grad_t)
@@ -289,7 +319,7 @@ class NUTS(Sampler):
                 lambda p, mn: jnp.where(go_fwd, p, mn), c["z_plus"], c["z_minus"]
             )
             n_leaves = jnp.asarray(1, jnp.int32) << c["j"]
-            z_end, prop1, n1, s1, alpha, nalpha, div = self._build_subtree(
+            z_end, prop1, n1, s1, alpha, nalpha, div, lw1 = self._build_subtree(
                 tree_model, edge, dirn * eps, dirn, n_leaves, u_slice, H0, k_sub
             )
             z_plus = jax.tree_util.tree_map(
@@ -299,9 +329,17 @@ class NUTS(Sampler):
                 lambda a, b: jnp.where(go_fwd, a, b), c["z_minus"], z_end
             )
 
-            # accept subtree proposal with prob n1/n (NUTS.jl:160)
-            u = jax.random.uniform(k_acc, (), dtype=dtype)
-            take = s1 & (u * c["n"].astype(dtype) < n1.astype(dtype))
+            if self.multinomial:
+                # biased progressive merge: prob min(1, W_new/W_old)
+                # (Betancourt 2017 A.3.2 — favors the fresh subtree)
+                u = jax.random.uniform(k_acc, (), dtype=dtype)
+                take = s1 & (jnp.log(u) < lw1 - c["lw"])
+                lw_tot = jnp.where(s1, jnp.logaddexp(c["lw"], lw1), c["lw"])
+            else:
+                # accept subtree proposal with prob n1/n (NUTS.jl:160)
+                u = jax.random.uniform(k_acc, (), dtype=dtype)
+                take = s1 & (u * c["n"].astype(dtype) < n1.astype(dtype))
+                lw_tot = c["lw"]
             prop = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(take, b, a), c["prop"], prop1
             )
@@ -312,7 +350,7 @@ class NUTS(Sampler):
             s = s1 & ~turned
 
             return {
-                "j": c["j"] + 1, "n": c["n"] + n1, "s": s,
+                "j": c["j"] + 1, "n": c["n"] + n1, "lw": lw_tot, "s": s,
                 "z_minus": z_minus, "z_plus": z_plus, "prop": prop,
                 "alpha": alpha, "nalpha": nalpha, "key": key,
                 "div": c["div"] | div,
@@ -320,6 +358,7 @@ class NUTS(Sampler):
 
         init = {
             "j": jnp.asarray(0, jnp.int32), "n": jnp.asarray(1, jnp.int32),
+            "lw": jnp.asarray(0.0, dtype),  # initial point weight exp(H0-H0)
             "s": jnp.asarray(True),
             "z_minus": z0, "z_plus": z0,
             "prop": (pars_t, state.logtarget, grad_t),

@@ -55,6 +55,7 @@ SAMPLERS = {
     "HMC": lambda sd: mc.HMC(2, sd / 5.0),
     "MALA": lambda sd: mc.MALA(sd),
     "NUTS": lambda sd: mc.NUTS(),
+    "NUTS-multinomial": lambda sd: mc.NUTS(multinomial=True),
 }
 
 # default subset: one easy + one hard distribution per shape family

@@ -36,6 +36,9 @@ CASES = [
     ("HMC+tuner", mc.HMC(10, 0.1, mc.EmpMCTuner(0.8)), 6000, 1000),
     ("HMCDA", mc.HMCDA(len=2.0), 6000, 1000),
     ("NUTS", mc.NUTS(), 6000, 1000),
+    ("NUTS+multinomial", mc.NUTS(multinomial=True), 6000, 1000),
+    ("NUTS+multinomial+dense", mc.NUTS(multinomial=True, mass_adapt="dense"),
+     6000, 1000),
     ("SMMALA", mc.SMMALA(1.2), 10000, 2000),
     ("PMALA", mc.PMALA(1.2), 10000, 2000),
     ("RMHMC", mc.RMHMC(4, 0.6), 3000, 500),
