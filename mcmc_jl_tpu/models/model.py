@@ -77,20 +77,24 @@ class LogDensityModel:
     size: int
     init: jnp.ndarray
     scale: jnp.ndarray
+    #: set for models built via model(glm=...): enables the fused Pallas
+    #: HMC routing in prun/run(chains=) (ops/glm_hmc.py)
+    glm_spec: Any = None
 
     # -- pytree protocol (only init/scale are leaves; fns are static) ------
     def tree_flatten(self):
         children = (self.init, self.scale)
         aux = (self.eval, self.evalg, self.evalt, self.evaldt, self.evalallg,
                self.evalallt, self.evalalldt, tuple(sorted(self.pmap.items())),
-               self.size)
+               self.size, self.glm_spec)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         init, scale = children
-        (ev, g, t, dt, ag, at, adt, pmap_items, size) = aux
-        return cls(ev, g, t, dt, ag, at, adt, dict(pmap_items), size, init, scale)
+        (ev, g, t, dt, ag, at, adt, pmap_items, size, gspec) = aux
+        return cls(ev, g, t, dt, ag, at, adt, dict(pmap_items), size, init,
+                   scale, gspec)
 
     # -- capability predicates (reference mcmcmodels.jl:19-21) -------------
     @property
@@ -193,9 +197,28 @@ def _model_vars(params: dict):
     return pos - 1, pmap, init
 
 
+@dataclasses.dataclass(frozen=True)
+class GLMSpec:
+    """Design/response data of a GLM-family posterior (model(glm=...)).
+
+    Carried on the model so the multi-chain runners can route plain-HMC
+    sampling to the fused Pallas trajectory kernel (ops/pallas_glm.py)."""
+
+    kind: Any  # link name or (ll, resid) callable pair
+    X: Any  # (N, d) design
+    Y: Any  # (N,) responses
+    weights: Any = None
+    offsets: Any = None
+    prior_prec: float = 1.0
+
+
 def model(
-    f: Callable,
+    f: Optional[Callable] = None,
     *,
+    glm: Any = None,
+    weights: Any = None,
+    offsets: Any = None,
+    prior_prec: float = 1.0,
     grad: Optional[Callable] = None,
     tensor: Any = None,
     dtensor: Any = None,
@@ -237,6 +260,59 @@ def model(
         raise ValueError(f"unsupported model type {mtype!r}")
 
     dtype = real_dtype()
+
+    glm_spec_obj = None
+    if glm is not None:  # ---- GLM mode ---------------------------------
+        # Bayesian GLM: logp = sum_i w_i ll(x_i'theta + o_i, y_i)
+        #                      - (lam/2)|theta|^2, with analytic gradient.
+        # The spec is kept on the model so prun/run(chains=) can route plain
+        # HMC to the fused Pallas trajectory kernel.
+        assert f is None and not params, "pass either f/DSL params or glm=..."
+        from ..ops.pallas_glm import link_terms
+
+        kind, X, Y = glm
+        ll_fn, resid_fn = link_terms(kind)
+        Xj = jnp.asarray(np.asarray(X), dtype=dtype)  # (N, d)
+        Yj = jnp.asarray(np.asarray(Y), dtype=dtype)
+        Wj = None if weights is None else jnp.asarray(np.asarray(weights), dtype=dtype)
+        Oj = None if offsets is None else jnp.asarray(np.asarray(offsets), dtype=dtype)
+        lam = float(prior_prec)
+        d_glm = int(Xj.shape[1])
+
+        def _glm_logp(th):
+            z = Xj @ th
+            if Oj is not None:
+                z = z + Oj
+            ll = ll_fn(z, Yj)
+            if Wj is not None:
+                ll = Wj * ll
+            return jnp.sum(ll) - 0.5 * lam * jnp.dot(th, th)
+
+        def _glm_grad(th):
+            z = Xj @ th
+            if Oj is not None:
+                z = z + Oj
+            r = resid_fn(z, Yj)
+            if Wj is not None:
+                r = Wj * r
+            return Xj.T @ r - lam * th
+
+        f = _glm_logp
+        if grad is None and allgrad is None and not gradient:
+            grad = _glm_grad
+        if init is None:
+            init = jnp.zeros((d_glm,), dtype=dtype)
+        glm_spec_obj = GLMSpec(
+            kind=kind, X=np.asarray(X), Y=np.asarray(Y),
+            weights=None if weights is None else np.asarray(weights),
+            offsets=None if offsets is None else np.asarray(offsets),
+            prior_prec=lam,
+        )
+    else:
+        assert weights is None and offsets is None, (
+            "weights/offsets only apply to glm= models"
+        )
+    assert f is not None or params, "model() needs a callable, DSL params or glm="
 
     if params:  # ---- DSL mode ------------------------------------------
         assert init is None, "'init' kwarg not allowed for DSL models (use named params)"
@@ -343,6 +419,7 @@ def model(
         size=size,
         init=init_vec,
         scale=scale_vec,
+        glm_spec=glm_spec_obj,
     )
 
     if check_init:

@@ -140,11 +140,31 @@ def run_chains(model, sampler, runner, n_chains, key=None, seed: int = 0,
     return infos, final_states, key
 
 
-def prun_serialmc(tasks, seed: int = 0, mesh=None):
+def _fused_eligible(task):
+    """Plain fixed-step HMC on a model(glm=...) posterior can route to the
+    fused Pallas trajectory kernel (ops/glm_hmc.py)."""
+    from ..samplers.hmc import HMC
+
+    s = task.sampler
+    return (
+        getattr(task.model, "glm_spec", None) is not None
+        and type(s) is HMC
+        and s.tuner is None
+        and not s.store_leaps
+        and s._kind is None
+    )
+
+
+def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
     """Reference-``prun`` surface: a list of SerialMC tasks -> list of chains.
 
     Tasks with identical (model fns, sampler, runner) are batched into one
-    vmapped+sharded launch; heterogeneous lists split into groups."""
+    vmapped+sharded launch; heterogeneous lists split into groups.
+
+    ``fused``: "auto" (default) routes plain-HMC groups on ``model(glm=...)``
+    posteriors to the fused Pallas kernel when running on TPU; ``True``
+    forces the routing (interpret-mode on CPU, for tests); ``False`` always
+    uses the generic vmapped engine."""
     t0 = time.time()
 
     # group tasks by compiled structure
@@ -158,25 +178,47 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None):
     for gi, (sig, idxs) in enumerate(groups.items()):
         t = tasks[idxs[0]]
         n = len(idxs)
-        infos, final_states, _ = run_chains(
-            t.model, t.sampler, t.runner, n, key=jax.random.fold_in(key, gi),
-            mesh=mesh,
+        use_fused = (
+            fused is not False
+            and _fused_eligible(t)
+            and (fused is True or jax.default_backend() == "tpu")
         )
-        infos = jax.device_get(infos)
-        keep = np.asarray(list(t.runner.r)) - 1
+        if use_fused:
+            from ..ops.glm_hmc import fused_hmc_chains
+
+            infos, final_states = fused_hmc_chains(
+                t.model, t.sampler, t.runner, n,
+                key=jax.random.fold_in(key, gi),
+            )
+        else:
+            infos, final_states, _ = run_chains(
+                t.model, t.sampler, t.runner, n,
+                key=jax.random.fold_in(key, gi), mesh=mesh,
+            )
+        # slice to kept rows and drop pre-step duplicates ON DEVICE before
+        # materializing — the host (or tunnel) transfer is the prun
+        # bottleneck, not the sampling itself
+        keep_idx = jnp.asarray(np.asarray(list(t.runner.r)) - 1)
+        drop = {"pars", "grads", "logtarget"}
+        infos = jax.device_get(
+            {k: v[keep_idx] for k, v in infos.items() if k not in drop}
+        )
+        # one bulk transfer of final states; per-chain slicing stays in numpy
+        # (per-chain device indexing would cost one tunnel RTT per leaf)
+        final_states = jax.device_get(final_states)
         cn = t.model.column_names()
         for ci, idx in enumerate(idxs):
-            samples = Table(np.asarray(infos["ppars"])[keep, ci], cn)
+            samples = Table(np.asarray(infos["ppars"])[:, ci], cn)
             if "pgrads" in infos:
-                gradients = Table(np.asarray(infos["pgrads"])[keep, ci], cn)
+                gradients = Table(np.asarray(infos["pgrads"])[:, ci], cn)
             else:
                 gradients = Table(np.zeros((0, t.model.size)), cn)
-            skip = {"ppars", "pgrads", "pars", "grads", "plogtarget", "logtarget"}
+            skip = {"ppars", "pgrads", "plogtarget"}
             diags = {"step": np.asarray(list(t.runner.r))}
             for k, v in infos.items():
                 if k not in skip:
-                    diags[k] = np.asarray(v)[keep, ci]
-            diags["logtarget"] = np.asarray(infos["plogtarget"])[keep, ci]
+                    diags[k] = np.asarray(v)[:, ci]
+            diags["logtarget"] = np.asarray(infos["plogtarget"])[:, ci]
             state_i = jax.tree_util.tree_map(lambda a: a[ci], final_states)
             new_task = MCMCTask(t.model, t.sampler, t.runner, state=state_i,
                                 key=jax.random.fold_in(key, 1000 + idx),

@@ -124,3 +124,20 @@ def test_fd_gradient_of_probit_analytic_derivatives():
     # tensor is SPD at moderate theta
     G = np.asarray(m.evalt(theta))
     assert np.all(np.linalg.eigvalsh(G) > 0)
+
+
+def test_poisson_regression_example():
+    """Poisson-with-exposure example: posterior covers the truth."""
+    import poisson_regression as ex
+
+    X, Y, log_e, beta_true = ex.make_data(n=250, seed=7)
+    m = ex.make_model(X, Y, log_e)
+    chain = mc.run(m * mc.NUTS() * mc.SerialMC(steps=2000, burnin=800), seed=0)
+    est = chain.samples.values.mean(axis=0)
+    se = np.sqrt(mc.var(chain))
+    # Poisson GLM posterior sd also includes likelihood curvature; gate at
+    # 6 combined sigmas of (MC error + rough Fisher sd)
+    fisher_sd = np.sqrt(np.diag(np.linalg.inv(
+        X.T @ (np.exp(log_e + X @ beta_true)[:, None] * X) + 0.01 * np.eye(3))))
+    assert np.all(np.abs(est - beta_true) < 6 * (se + fisher_sd)), (
+        est, beta_true, se, fisher_sd)

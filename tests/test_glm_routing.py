@@ -1,0 +1,81 @@
+"""model(glm=...) + fused-kernel routing through the standard run()/prun API.
+
+The fused Pallas path (ops/glm_hmc.py) must be reachable from the normal
+multi-chain surface — `mc.run(task, chains=N, fused=True)` — and produce
+chains statistically identical to the generic vmapped engine, with resumable
+HMCState finals."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mcmc_jl_tpu as mc
+
+
+def _data(n=90, d=4, seed=3):
+    rng = np.random.default_rng(seed)
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, d - 1))])
+    beta = rng.standard_normal(d) * 0.7
+    Y = (rng.random(n) < 1.0 / (1.0 + np.exp(-X @ beta))).astype(np.float64)
+    return X, Y
+
+
+def test_glm_model_matches_manual_logp():
+    X, Y = _data()
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0.5, 2.0, X.shape[0])
+    o = 0.2 * rng.standard_normal(X.shape[0])
+    m = mc.model(glm=("logistic", X, Y), weights=w, offsets=o, prior_prec=2.0)
+    th = jnp.asarray(rng.standard_normal(4) * 0.3)
+    z = jnp.asarray(X) @ th + jnp.asarray(o)
+    want = (jnp.sum(jnp.asarray(w) * (z * jnp.asarray(Y) - jnp.logaddexp(0.0, z)))
+            - 1.0 * th @ th)
+    np.testing.assert_allclose(float(m.eval(th)), float(want), rtol=1e-10)
+    g_auto = jax.grad(lambda t: m.eval(t))(th)
+    np.testing.assert_allclose(np.asarray(m.evalg(th)), np.asarray(g_auto),
+                               atol=1e-8)
+
+
+def test_fused_routing_matches_generic():
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    task = m * mc.HMC(5, 0.1) * mc.SerialMC(steps=800, burnin=200)
+
+    chains_fused = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    assert len(chains_fused) == 8
+
+    def pooled_mean(chains):
+        return np.mean([c.samples.values.mean(0) for c in chains], axis=0)
+
+    mu_f, mu_g = pooled_mean(chains_fused), pooled_mean(chains_gen)
+    se = np.sqrt(np.mean([mc.var(c) for c in chains_gen], axis=0) / 8)
+    assert np.all(np.abs(mu_f - mu_g) < 6 * se + 0.05), (mu_f, mu_g, se)
+
+    c0 = chains_fused[0]
+    # full protocol present
+    for k in ("accept", "logtarget"):
+        assert k in c0.diagnostics
+    assert c0.gradients.shape[0] == c0.samples.shape[0]  # pgrads stored
+    acc = mc.acceptance(c0)
+    assert acc > 40, acc
+
+    # resume continues from the fused final state through the generic path
+    c1 = mc.resume(c0, steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+
+
+def test_fused_routing_requires_plain_hmc():
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    from mcmc_jl_tpu.parallel.pchains import _fused_eligible
+    from mcmc_jl_tpu.core.task import MCMCTask
+
+    r = mc.SerialMC(steps=100, burnin=10)
+    assert _fused_eligible(MCMCTask(m, mc.HMC(5, 0.1), r))
+    assert not _fused_eligible(MCMCTask(m, mc.HMC(5, 0.1, mass_adapt=True), r))
+    assert not _fused_eligible(
+        MCMCTask(m, mc.HMC(5, 0.1, mc.EmpMCTuner(0.8)), r))
+    assert not _fused_eligible(MCMCTask(m, mc.NUTS(), r))
+    m2 = mc.model(lambda v: -v @ v, gradient=True, init=jnp.zeros(2),
+                  check_init=False)
+    assert not _fused_eligible(MCMCTask(m2, mc.HMC(5, 0.1), r))
