@@ -10,10 +10,11 @@ taken there, and the rung swap is Metropolis-accepted on
 reference leaves logW adaptation as a TODO (SerialTempMC.jl:71); we ship a
 Wang-Landau-style optional adaptation (``adapt_weights=True``).
 
-When every rung uses the same sampler type the whole run compiles to ONE
-``lax.scan`` whose body ``lax.switch``es over the (static) rung ladder —
-rung states live stacked on device and the walker never touches the host.
-Heterogeneous ladders fall back to a host loop over jitted per-rung steps.
+The whole run compiles to ONE ``lax.scan`` whose body ``lax.switch``es over
+the (static) rung ladder.  Homogeneous ladders keep rung states stacked on a
+leading axis; heterogeneous ladders (mixed sampler types) keep them as a
+tuple of per-sampler pytrees — either way the walker never touches the host.
+``run(..., compiled=False)`` selects the plain host loop for debugging.
 """
 from __future__ import annotations
 
@@ -130,7 +131,71 @@ def _temp_scan(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
     return states, logW, all_pars, all_at
 
 
-def run_serialtempmc(tasks, seed: int = 0):
+@partial(jax.jit, static_argnames=("samplers", "ctxs", "steps", "swap_period",
+                                   "adapt_weights"))
+def _temp_scan_het(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
+                   swap_period, adapt_weights):
+    """Heterogeneous-ladder variant of :func:`_temp_scan`: rung states stay a
+    *tuple* of per-sampler pytrees (mixed sampler types cannot stack), and the
+    switch branches return only the (ppars, logtarget) pair every sampler
+    emits — the tuple structure is rung-invariant, so the whole run still
+    compiles to one scan."""
+    nmods = len(samplers)
+
+    def step_rung(i, states, pars, key, do_reset):
+        st = states[i]
+        st = jax.lax.cond(
+            do_reset,
+            lambda: samplers[i].reset(models[i], st, pars),
+            lambda: st,
+        )
+        st, info = samplers[i].step(models[i], ctxs[i], st, key)
+        states = states[:i] + (st,) + states[i + 1:]
+        return states, (info["ppars"], info["logtarget"])
+
+    def one_step(carry, inp):
+        states, at, pars, logtarget, logW = carry
+        i, key = inp
+        k_step, k_pick, k_acc = jax.random.split(key, 3)
+
+        do_swap = (i % swap_period) == 0
+        at2 = jax.random.randint(k_pick, (), 0, nmods - 1, dtype=jnp.int32)
+        at2 = jnp.where(at2 >= at, at2 + 1, at2).astype(jnp.int32)
+        target = jnp.where(do_swap, at2, at)
+
+        branches = [
+            lambda sts, p, k, rst, _i=_i: step_rung(_i, sts, p, k, rst)
+            for _i in range(nmods)
+        ]
+        states, (ppars, lp_new) = jax.lax.switch(
+            target, branches, states, pars, k_step, do_swap
+        )
+
+        ratio = logtarget - lp_new + logW[at2] - logW[at]
+        u = jnp.log(jax.random.uniform(k_acc, ()))
+        take = jnp.where(do_swap,
+                         jnp.where(jnp.isnan(ratio), False, u < ratio),
+                         True)
+        new_at = jnp.where(do_swap & take, at2, at)
+        new_pars = jnp.where(take, ppars, pars)
+        new_lp = jnp.where(take, lp_new, logtarget)
+
+        if adapt_weights:
+            logW = logW.at[new_at].add(-1.0 / i)
+
+        return (states, new_at, new_pars, new_lp, logW), (new_pars, new_at)
+
+    idx = jnp.arange(1, steps + 1)
+    keys = jax.random.split(key, steps)
+    carry0 = (states, jnp.asarray(0, jnp.int32), pars0, lp0,
+              jnp.zeros((nmods,), dtype=pars0.dtype))
+    (states, at, pars, lp, logW), (all_pars, all_at) = jax.lax.scan(
+        one_step, carry0, (idx, keys)
+    )
+    return states, logW, all_pars, all_at
+
+
+def run_serialtempmc(tasks, seed: int = 0, compiled: bool = True):
     nmods = len(tasks)
     tsize = tasks[-1].model.size
     runner = tasks[-1].runner
@@ -145,12 +210,12 @@ def run_serialtempmc(tasks, seed: int = 0):
     t0 = time.time()
     key = jax.random.PRNGKey(seed)
 
-    if _stackable(tasks):
-        return _run_on_device(tasks, key, t0)
-    return _run_host(tasks, key, seed, t0)
+    if not compiled:
+        return _run_host(tasks, key, seed, t0)
+    return _run_on_device(tasks, key, t0, stacked=_stackable(tasks))
 
 
-def _run_on_device(tasks, key, t0):
+def _run_on_device(tasks, key, t0, stacked=True):
     nmods = len(tasks)
     tsize = tasks[-1].model.size
     runner = tasks[-1].runner
@@ -160,7 +225,6 @@ def _run_on_device(tasks, key, t0):
         t.sampler.init(t.model, t.model.init, jax.random.fold_in(key, i))
         for i, t in enumerate(tasks)
     ]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
     # initialize from rung 0 (SerialTempMC.jl:52-55)
     key, k0, k_run = jax.random.split(key, 3)
@@ -168,11 +232,14 @@ def _run_on_device(tasks, key, t0):
                            RunCtx(burnin=burnin), states[0], k0)
     pars0, lp0 = info0["ppars"], info0["logtarget"]
 
-    final_states, logW, all_pars, all_at = _temp_scan(
+    scan_fn = _temp_scan if stacked else _temp_scan_het
+    state_arg = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+                 if stacked else tuple(states))
+    final_states, logW, all_pars, all_at = scan_fn(
         tuple(t.model for t in tasks),
         tuple(t.sampler for t in tasks),
         tuple(RunCtx(burnin=t.runner.burnin) for t in tasks),
-        stacked, pars0, lp0, k_run,
+        state_arg, pars0, lp0, k_run,
         steps=steps, swap_period=runner.swap_period,
         adapt_weights=runner.adapt_weights,
     )

@@ -161,8 +161,9 @@ def test_seqmc_resume_continues_particles():
     assert np.all(np.isfinite(chain2.samples.values))
 
 
-def test_serialtempmc_heterogeneous_fallback():
-    """Mixed sampler types fall back to the host loop and still work."""
+def test_serialtempmc_heterogeneous_compiled():
+    """Mixed sampler types now compile to one scan (tuple-of-states switch);
+    the host loop remains available via compiled=False and both work."""
     def ex1(x):
         mc.tilde(jnp.abs(x), mc.Normal(1.0, 2.0))
 
@@ -174,10 +175,16 @@ def test_serialtempmc_heterogeneous_fallback():
     tasks = [
         m1 * mc.RWM(1.0) * mc.SerialTempMC(steps=300, burnin=50),
         m2 * mc.MALA(0.3) * mc.SerialTempMC(steps=300, burnin=50),
+        m2 * mc.NUTS() * mc.SerialTempMC(steps=300, burnin=50),
     ]
     chain = mc.run(tasks)
     assert chain.samples.shape == (250, 1)
     assert np.all(np.isfinite(chain.samples.values))
+    assert set(np.unique(chain.diagnostics["mod"])) <= {1, 2, 3}
+
+    chain_host = mc.run(tasks, compiled=False)
+    assert chain_host.samples.shape == (250, 1)
+    assert np.all(np.isfinite(chain_host.samples.values))
 
 
 def test_serialtempmc_crosses_modes():
