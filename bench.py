@@ -44,7 +44,7 @@ def _bench_tpu(X, Y):
 
     nbeta = X.shape[1]
     XT, Y2, d_pad = pad_design(X, Y)
-    C, steps, n_leaps, blk = 8192, 2000, 10, 512
+    C, steps, n_leaps, blk = 8192, 2000, 10, 1024
 
     @partial(jax.jit, static_argnames=())
     def go(key):
