@@ -52,8 +52,9 @@ def _bench_tpu(X, Y):
         th0 = pad_chains(
             0.1 * jax.random.normal(k_init, (C, nbeta), dtype=jnp.float32), d_pad
         )
-        theta, infos = _run(XT, Y2, th0, jnp.float32(0.05), k_run, steps=steps,
-                            n_leaps=n_leaps, block_chains=blk, interpret=False)
+        (theta, _, _), infos = _run(XT, Y2, th0, jnp.float32(0.05), k_run,
+                                    d=nbeta, steps=steps, n_leaps=n_leaps,
+                                    block_chains=blk, interpret=False)
         return (jnp.mean(theta, axis=0), jnp.mean(infos["accept"]),
                 jnp.mean(infos["plogtarget"][-1]))
 

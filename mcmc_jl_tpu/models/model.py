@@ -197,12 +197,18 @@ def _model_vars(params: dict):
     return pos - 1, pmap, init
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class GLMSpec:
     """Design/response data of a GLM-family posterior (model(glm=...)).
 
     Carried on the model so the multi-chain runners can route plain-HMC
-    sampling to the fused Pallas trajectory kernel (ops/pallas_glm.py)."""
+    sampling to the fused Pallas trajectory kernel (ops/pallas_glm.py).
+
+    ``eq=False``: identity equality/hash.  The spec holds raw numpy arrays
+    and lives in the model's static pytree aux, which JAX requires to be
+    hashable — dataclass-generated ``__eq__`` would raise on arrays.  Models
+    already compare by identity (their fn fields are closures), so this
+    loses nothing."""
 
     kind: Any  # link name or (ll, resid) callable pair
     X: Any  # (N, d) design

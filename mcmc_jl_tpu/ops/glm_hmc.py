@@ -7,6 +7,11 @@ and the accept test is a (C,)-vector op.  This is the speed-of-light path
 for the benchmark workload; statistically identical to
 ``HMC(n_leaps, eps)`` on the same model (same leapfrog, same accept rule —
 reference HMC.jl:136-165).
+
+Momenta are drawn only on the ``d`` live columns (padded lanes masked to
+zero), so padded coordinates stay exactly zero through the trajectory and
+``plogtarget`` is the exact model log-density — no phantom dimensions in the
+Hamiltonian or the diagnostics.
 """
 from __future__ import annotations
 
@@ -18,13 +23,26 @@ import jax.numpy as jnp
 from .pallas_glm import glm_hmc_leapfrogs, pad_chains, pad_design
 
 
-@partial(jax.jit, static_argnames=("steps", "n_leaps", "block_chains",
-                                   "interpret", "mxu_dtype", "kind", "lam"))
-def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
-         mxu_dtype=jnp.float32, kind="logistic", W=None, O=None, lam=1.0):
+@partial(jax.jit, static_argnames=("d", "steps", "n_leaps", "block_chains",
+                                   "interpret", "mxu_dtype", "kind", "lam",
+                                   "collect"))
+def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
+         interpret, mxu_dtype=jnp.float32, kind="logistic", W=None, O=None,
+         lam=1.0, collect=False):
+    """Scan ``steps`` fused-HMC transitions for all chains.
+
+    ``collect=False`` (bench mode) emits only (plogtarget, accept) per step;
+    ``collect=True`` additionally emits the post-accept ppars/pgrads so the
+    fused path can stand in for the generic multi-chain engine.  Pre-step
+    values are NOT emitted — they are exact duplicates of the previous step's
+    post-accept values, and the extra (steps, C, d_pad) buffers would double
+    the scan-output HBM footprint.
+    """
     C, d_pad = theta0.shape
     from .pallas_glm import link_terms
     ll_fn, resid_fn = link_terms(kind)
+    # momentum mask: zero on padded lanes -> padded theta stays exactly 0
+    live = (jnp.arange(d_pad) < d).astype(theta0.dtype)[None, :]
 
     def logp_grad(theta):
         logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
@@ -43,7 +61,7 @@ def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
     def step(carry, k):
         theta, lp, g = carry
         k_mom, k_acc = jax.random.split(k)
-        m0 = jax.random.normal(k_mom, theta.shape, dtype=theta.dtype)
+        m0 = live * jax.random.normal(k_mom, theta.shape, dtype=theta.dtype)
         H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
         p_theta, p_m, p_g, p_lp = glm_hmc_leapfrogs(
             XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
@@ -59,11 +77,14 @@ def _run(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains, interpret,
         theta = jnp.where(a, p_theta, theta)
         g = jnp.where(a, p_g, g)
         lp = jnp.where(accept, p_lp, lp)
-        return (theta, lp, g), {"plogtarget": lp, "accept": accept}
+        info = {"plogtarget": lp, "accept": accept}
+        if collect:
+            info.update({"ppars": theta, "pgrads": g})
+        return (theta, lp, g), info
 
     keys = jax.random.split(key, steps)
     (theta, lp, g), infos = jax.lax.scan(step, (theta0, lp0, g0), keys)
-    return theta, infos
+    return (theta, lp, g), infos
 
 
 def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
@@ -91,66 +112,12 @@ def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
          else jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
     O = (None if offsets is None
          else jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
-    theta, infos = _run(XT, Y2, theta0, jnp.float32(eps), k_run, steps=steps,
-                        n_leaps=n_leaps, block_chains=block,
-                        interpret=interpret, mxu_dtype=mxu_dtype, kind=kind,
-                        W=W, O=O, lam=float(prior_prec))
+    (theta, _, _), infos = _run(
+        XT, Y2, theta0, jnp.float32(eps), k_run, d=d, steps=steps,
+        n_leaps=n_leaps, block_chains=block, interpret=interpret,
+        mxu_dtype=mxu_dtype, kind=kind, W=W, O=O, lam=float(prior_prec),
+    )
     return theta[:, :d], infos
-
-
-@partial(jax.jit, static_argnames=("steps", "n_leaps", "block_chains",
-                                   "interpret", "mxu_dtype", "kind", "lam"))
-def _run_collect(XT, Y, theta0, eps, key, *, steps, n_leaps, block_chains,
-                 interpret, mxu_dtype=jnp.float32, kind="logistic", W=None,
-                 O=None, lam=1.0):
-    """Like :func:`_run`, but the scan emits the full sampler info protocol
-    per step (ppars/plogtarget/pgrads/pars/logtarget/grads/accept) so the
-    fused path can stand in for the generic multi-chain engine."""
-    C, d_pad = theta0.shape
-    from .pallas_glm import link_terms
-    ll_fn, resid_fn = link_terms(kind)
-
-    def logp_grad(theta):
-        logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
-        if O is not None:
-            logits = logits + O
-        r = resid_fn(logits, Y)
-        ll = ll_fn(logits, Y)
-        if W is not None:
-            r, ll = W * r, W * ll
-        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - lam * theta
-        lp = jnp.sum(ll, axis=1) - 0.5 * lam * jnp.sum(theta * theta, axis=1)
-        return lp, g
-
-    lp0, g0 = logp_grad(theta0)
-
-    def step(carry, k):
-        theta, lp, g = carry
-        k_mom, k_acc = jax.random.split(k)
-        m0 = jax.random.normal(k_mom, theta.shape, dtype=theta.dtype)
-        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
-        p_theta, p_m, p_g, p_lp = glm_hmc_leapfrogs(
-            XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
-            block_chains=block_chains, interpret=interpret,
-            mxu_dtype=mxu_dtype, kind=kind, weights=W, offsets=O,
-            prior_prec=lam,
-        )
-        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
-        ratio = H0 - H
-        u = jnp.log(jax.random.uniform(k_acc, (C,), dtype=theta.dtype))
-        accept = jnp.where(jnp.isnan(ratio), False, (ratio > 0) | (ratio > u))
-        a = accept[:, None]
-        n_theta = jnp.where(a, p_theta, theta)
-        n_g = jnp.where(a, p_g, g)
-        n_lp = jnp.where(accept, p_lp, lp)
-        info = {
-            "ppars": n_theta, "plogtarget": n_lp, "pgrads": n_g,
-            "pars": theta, "logtarget": lp, "grads": g, "accept": accept,
-        }
-        return (n_theta, n_lp, n_g), info
-
-    keys = jax.random.split(key, steps)
-    return jax.lax.scan(step, (theta0, lp0, g0), keys)
 
 
 def _pick_block(n):
@@ -165,9 +132,8 @@ def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None):
     """Run ``n_chains`` plain-HMC chains on a ``model(glm=...)`` posterior
     through the fused Pallas kernel, returning ``(infos, final_states)``
     protocol-compatible with :func:`mcmc_jl_tpu.parallel.run_chains`
-    (f32; ~16x the generic vmapped path on chip)."""
-    import numpy as np
-
+    (f32 compute; post-accept keys only — the pre-step duplicates the
+    generic engine also emits are dropped before they ever hit HBM)."""
     from ..samplers.base import tuner_init
     from ..samplers.hmc import HMCState
     from ..samplers.massadapt import mass_init
@@ -187,11 +153,11 @@ def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None):
     inits = jnp.broadcast_to(jnp.asarray(model.init, jnp.float32), (n_chains, d))
     theta0 = pad_chains(inits, d_pad)
 
-    (thetaF, lpF, gF), infos = _run_collect(
+    (thetaF, lpF, gF), infos = _run(
         XT, Y2, theta0, jnp.float32(sampler.leap_step), key,
-        steps=runner.len, n_leaps=sampler.n_leaps,
+        d=d, steps=runner.len, n_leaps=sampler.n_leaps,
         block_chains=_pick_block(n_chains), interpret=interpret,
-        kind=spec.kind, W=W, O=O, lam=float(spec.prior_prec),
+        kind=spec.kind, W=W, O=O, lam=float(spec.prior_prec), collect=True,
     )
     infos = {k: (v[..., :d] if v.ndim == 3 else v) for k, v in infos.items()}
 

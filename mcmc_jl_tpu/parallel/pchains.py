@@ -181,8 +181,20 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
         use_fused = (
             fused is not False
             and _fused_eligible(t)
-            and (fused is True or jax.default_backend() == "tpu")
+            and (
+                fused is True
+                or (jax.default_backend() == "tpu"
+                    and not jax.config.jax_enable_x64)
+            )
         )
+        if use_fused and fused == "auto":
+            import logging
+
+            logging.getLogger(__name__).info(
+                "prun: routing %d plain-HMC chains on a GLM posterior to the "
+                "fused Pallas kernel (f32); pass fused=False for the generic "
+                "engine", n,
+            )
         if use_fused:
             from ..ops.glm_hmc import fused_hmc_chains
 

@@ -150,10 +150,19 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
     carried = getattr(runner, "_carry", None)
     if targets[-1].state is not None and isinstance(targets[-1].state, dict):
         carried = targets[-1].state
-    logW0 = jnp.zeros((npart,), dtype=pars.dtype)
     if carried is not None:
         pars = jnp.asarray(carried["pars"], dtype=pars.dtype)
-        npart = pars.shape[0]
+        if pars.shape[0] != npart:  # re-batch per-target states to match
+            npart = pars.shape[0]
+            states = []
+            for i, t in enumerate(targets):
+                kinit = jax.random.fold_in(key, 10_000 + i)
+                states.append(jax.vmap(
+                    lambda th, k, _t=t: _t.sampler.init(_t.model, th, k)
+                )(pars, jax.random.split(kinit, npart)))
+    # sized AFTER any carried ensemble replaced the particles
+    logW0 = jnp.zeros((npart,), dtype=pars.dtype)
+    if carried is not None:
         if "logW" in carried:
             logW0 = jnp.asarray(carried["logW"], dtype=pars.dtype)
         c_states = carried.get("states")

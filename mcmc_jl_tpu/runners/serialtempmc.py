@@ -68,25 +68,36 @@ def _stackable(tasks):
 
 
 @partial(jax.jit, static_argnames=("samplers", "ctxs", "steps", "swap_period",
-                                   "adapt_weights"))
+                                   "adapt_weights", "stacked"))
 def _temp_scan(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
-               swap_period, adapt_weights):
-    """states: per-rung sampler states stacked on a leading rung axis."""
+               swap_period, adapt_weights, stacked=True):
+    """One compiled scan over the whole tempered run.
+
+    ``stacked=True``: per-rung sampler states stacked on a leading rung axis
+    (homogeneous ladders).  ``stacked=False``: states are a *tuple* of
+    per-sampler pytrees (mixed sampler types cannot stack).  Either way the
+    switch branches return the (ppars, logtarget) pair every sampler emits,
+    so the branch output structure is rung-invariant and the walker never
+    touches the host."""
     nmods = len(samplers)
 
     def step_rung(i, states, pars, key, do_reset):
-        """Step rung i (static); optionally reset its walker position."""
-        st = jax.tree_util.tree_map(lambda a: a[i], states)
+        """Step rung i (static index); optionally reset its walker position."""
+        st = (jax.tree_util.tree_map(lambda a: a[i], states) if stacked
+              else states[i])
         st = jax.lax.cond(
             do_reset,
             lambda: samplers[i].reset(models[i], st, pars),
             lambda: st,
         )
         st, info = samplers[i].step(models[i], ctxs[i], st, key)
-        states = jax.tree_util.tree_map(
-            lambda a, b: a.at[i].set(b), states, st
-        )
-        return states, info
+        if stacked:
+            states = jax.tree_util.tree_map(
+                lambda a, b: a.at[i].set(b), states, st
+            )
+        else:
+            states = states[:i] + (st,) + states[i + 1:]
+        return states, (info["ppars"], info["logtarget"])
 
     def one_step(carry, inp):
         states, at, pars, logtarget, logW = carry
@@ -103,74 +114,11 @@ def _temp_scan(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
             lambda sts, p, k, rst, _i=_i: step_rung(_i, sts, p, k, rst)
             for _i in range(nmods)
         ]
-        states, info = jax.lax.switch(target, branches, states, pars, k_step,
-                                      do_swap)
-
-        # Metropolis swap on tempered weights (SerialTempMC.jl:62-66)
-        ratio = logtarget - info["logtarget"] + logW[at2] - logW[at]
-        u = jnp.log(jax.random.uniform(k_acc, ()))
-        take = jnp.where(do_swap,
-                         jnp.where(jnp.isnan(ratio), False, u < ratio),
-                         True)
-        new_at = jnp.where(do_swap & take, at2, at)
-        new_pars = jnp.where(take, info["ppars"], pars)
-        new_lp = jnp.where(take, info["logtarget"], logtarget)
-
-        if adapt_weights:
-            logW = logW.at[new_at].add(-1.0 / i)
-
-        return (states, new_at, new_pars, new_lp, logW), (new_pars, new_at)
-
-    idx = jnp.arange(1, steps + 1)
-    keys = jax.random.split(key, steps)
-    carry0 = (states, jnp.asarray(0, jnp.int32), pars0, lp0,
-              jnp.zeros((nmods,), dtype=pars0.dtype))
-    (states, at, pars, lp, logW), (all_pars, all_at) = jax.lax.scan(
-        one_step, carry0, (idx, keys)
-    )
-    return states, logW, all_pars, all_at
-
-
-@partial(jax.jit, static_argnames=("samplers", "ctxs", "steps", "swap_period",
-                                   "adapt_weights"))
-def _temp_scan_het(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
-                   swap_period, adapt_weights):
-    """Heterogeneous-ladder variant of :func:`_temp_scan`: rung states stay a
-    *tuple* of per-sampler pytrees (mixed sampler types cannot stack), and the
-    switch branches return only the (ppars, logtarget) pair every sampler
-    emits — the tuple structure is rung-invariant, so the whole run still
-    compiles to one scan."""
-    nmods = len(samplers)
-
-    def step_rung(i, states, pars, key, do_reset):
-        st = states[i]
-        st = jax.lax.cond(
-            do_reset,
-            lambda: samplers[i].reset(models[i], st, pars),
-            lambda: st,
-        )
-        st, info = samplers[i].step(models[i], ctxs[i], st, key)
-        states = states[:i] + (st,) + states[i + 1:]
-        return states, (info["ppars"], info["logtarget"])
-
-    def one_step(carry, inp):
-        states, at, pars, logtarget, logW = carry
-        i, key = inp
-        k_step, k_pick, k_acc = jax.random.split(key, 3)
-
-        do_swap = (i % swap_period) == 0
-        at2 = jax.random.randint(k_pick, (), 0, nmods - 1, dtype=jnp.int32)
-        at2 = jnp.where(at2 >= at, at2 + 1, at2).astype(jnp.int32)
-        target = jnp.where(do_swap, at2, at)
-
-        branches = [
-            lambda sts, p, k, rst, _i=_i: step_rung(_i, sts, p, k, rst)
-            for _i in range(nmods)
-        ]
         states, (ppars, lp_new) = jax.lax.switch(
             target, branches, states, pars, k_step, do_swap
         )
 
+        # Metropolis swap on tempered weights (SerialTempMC.jl:62-66)
         ratio = logtarget - lp_new + logW[at2] - logW[at]
         u = jnp.log(jax.random.uniform(k_acc, ()))
         take = jnp.where(do_swap,
@@ -232,16 +180,15 @@ def _run_on_device(tasks, key, t0, stacked=True):
                            RunCtx(burnin=burnin), states[0], k0)
     pars0, lp0 = info0["ppars"], info0["logtarget"]
 
-    scan_fn = _temp_scan if stacked else _temp_scan_het
     state_arg = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
                  if stacked else tuple(states))
-    final_states, logW, all_pars, all_at = scan_fn(
+    final_states, logW, all_pars, all_at = _temp_scan(
         tuple(t.model for t in tasks),
         tuple(t.sampler for t in tasks),
         tuple(RunCtx(burnin=t.runner.burnin) for t in tasks),
         state_arg, pars0, lp0, k_run,
         steps=steps, swap_period=runner.swap_period,
-        adapt_weights=runner.adapt_weights,
+        adapt_weights=runner.adapt_weights, stacked=stacked,
     )
     samples = np.asarray(all_pars)[burnin:]
     rungs = np.asarray(all_at)[burnin:] + 1

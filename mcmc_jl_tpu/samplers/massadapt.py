@@ -119,13 +119,20 @@ def mass_update(kind, acc: MassAccum, x, i, burnin):
         return acc.replace(count=cnt, mean=mean, m2=m2)
 
     # windowed kinds ------------------------------------------------------
-    adapt_end = jnp.maximum(burnin - TERM_BUFFER, 0)
+    # Stan-style buffer shrinking: with a short adaptation span the fixed
+    # 75/50 buffers would leave no accumulation window at all (a silent
+    # no-op); scale them to 15%/10% of the span instead, like Stan's
+    # init_buffer/term_buffer rescaling.
+    full = burnin >= INIT_BUFFER + TERM_BUFFER + BASE_WINDOW
+    init_buf = jnp.where(full, INIT_BUFFER, (burnin * 15) // 100)
+    term_buf = jnp.where(full, TERM_BUFFER, burnin // 10)
+    adapt_end = jnp.maximum(burnin - term_buf, 0)
     next_end = jnp.where(
         acc.next_end < 0,
-        jnp.minimum(INIT_BUFFER + acc.window, adapt_end),
+        jnp.minimum(init_buf + acc.window, adapt_end),
         acc.next_end,
     )
-    in_win = (i > INIT_BUFFER) & (i <= adapt_end)
+    in_win = (i > init_buf) & (i <= adapt_end)
     cnt = acc.count + jnp.where(in_win, 1, 0)
     cf = jnp.maximum(cnt.astype(dtype), 1.0)
     delta = x - acc.mean

@@ -144,3 +144,18 @@ def test_mass_adapt_flag_validation():
         mc.HMC(10, 0.5, mass_adapt="bogus")
     with pytest.raises(ValueError):
         mc.NUTS(mass_adapt="bogus")
+
+
+def test_windowed_adapts_with_short_burnin():
+    """Short adaptation spans shrink the init/term buffers (Stan-style)
+    instead of silently never adapting (review finding: burnin<=125 used to
+    leave the identity metric untouched)."""
+    m = _model()
+    for kind in ("diag-win", "dense"):
+        c = mc.run(m * mc.HMC(10, 0.5, mass_adapt=kind)
+                   * mc.SerialMC(steps=300, burnin=100), seed=5)
+        st = c.task.state
+        s = np.asarray(st.mass.scale)
+        if kind == "dense":
+            s = np.diag(s)
+        assert not np.allclose(s, 1.0), (kind, s)  # metric actually adapted
