@@ -33,6 +33,16 @@ def main():
     if "--platform" in sys.argv:
         plat = sys.argv[sys.argv.index("--platform") + 1]
         if plat != "default":
+            if plat == "cpu":
+                # virtual 8-device mesh so the scaling unit measures
+                # multi-device efficiency; XLA_FLAGS is read at backend
+                # initialization, which hasn't happened yet even though the
+                # axon sitecustomize pre-imports jax
+                os.environ["XLA_FLAGS"] = (
+                    os.environ.get("XLA_FLAGS", "")
+                    + " --xla_force_host_platform_device_count=8"
+                )
+                os.environ.setdefault("JAX_CACHE_DIR", "/tmp/jax_cache_cpu")
             import jax
 
             jax.config.update("jax_platforms", plat)
