@@ -640,8 +640,14 @@ class MvNormal(Distribution):
     def logpdf(self, x):
         L = self._chol()
         d = jnp.shape(self.mu)[-1]
-        z = jax.scipy.linalg.solve_triangular(L, x - self.mu, lower=True)
-        return -0.5 * jnp.sum(z * z, axis=-1) - jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * d * LOG2PI
+        xm = jnp.asarray(x) - self.mu  # (..., d)
+        batch_shape = jnp.shape(xm)[:-1]
+        # solve_triangular wants the vector axis leading: (d, k) RHS columns
+        z = jax.scipy.linalg.solve_triangular(
+            L, xm.reshape((-1, d)).T, lower=True
+        )
+        quad = jnp.sum(z * z, axis=0).reshape(batch_shape)
+        return -0.5 * quad - jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * d * LOG2PI
 
     def sample(self, key, shape=()):
         L = self._chol()

@@ -107,7 +107,10 @@ def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
     if inits is None:
         inits = 0.1 * jax.random.normal(k_init, (n_chains, d), dtype=jnp.float32)
     theta0 = pad_chains(jnp.asarray(inits, dtype=jnp.float32), d_pad)
+    # a non-divisor block would trip the kernel's C % blk assert
     block = min(block_chains, n_chains)
+    if n_chains % block != 0:
+        block = _pick_block(n_chains)
     W = (None if weights is None
          else jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
     O = (None if offsets is None

@@ -133,6 +133,11 @@ def run_chains(model, sampler, runner, n_chains, key=None, seed: int = 0,
                              jitter=jitter, mesh=mesh)
     ctx = RunCtx(burnin=runner.burnin)
     thinning = runner.thinning if thin_on_device else 1
+    assert runner.len % thinning == 0, (
+        f"thin_on_device requires steps ({runner.len}) divisible by "
+        f"thinning ({thinning}) — a remainder would silently truncate the "
+        f"trajectory"
+    )
     final_states, infos = _scan_chains(
         model, sampler, ctx, states, k_run, runner.len, thinning=thinning,
         pool_adaptation=pool_adaptation,

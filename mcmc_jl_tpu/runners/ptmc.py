@@ -117,6 +117,13 @@ def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas):
         if hasattr(states, "grad"):
             grad_u = states.grad / betas_v[:, None]
             new_states = new_states.replace(grad=grad_u[src] * betas_v[:, None])
+        if hasattr(states, "logcandidate"):
+            # IMH caches log q(pars); q is temperature-independent, so the
+            # cache swaps with the position (else the next IMH accept ratio
+            # uses the partner's stale candidate density)
+            new_states = new_states.replace(
+                logcandidate=states.logcandidate[src]
+            )
         swap_rate = jnp.sum(jnp.where(valid & acc, 1, 0)) / 2.0
         return new_states, swap_rate
 

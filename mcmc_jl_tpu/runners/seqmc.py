@@ -102,6 +102,10 @@ def _seqmc_scan(models, samplers, ctxs, states, pars, logW0, key, *, steps,
                                               trigger, ess_trigger)
         var_w = jnp.var(jnp.exp(logW), ddof=1)
         out = (pars, jnp.exp(logW), var_w)
+        # reference-exact: the carried log-target resets to zero after every
+        # full ladder pass (SeqMC.jl:91 `logtarget = zeros(npart)`), so each
+        # pass's first weight update is ll0 - 0, not a telescoping ratio
+        # against the previous pass's final target
         logtarget = jnp.zeros((npart,), dtype=pars.dtype)
         return (states, pars, logW, logtarget), out
 
@@ -226,8 +230,8 @@ def resume_seqmc(targets, steps: int = 100, **kwargs):
 
     new = [
         MCMCTask(t.model, t.sampler,
-                 SeqMC(steps=steps, trigger=t.runner.trigger), state=t.state,
-                 key=t.key, pos=t.pos)
+                 dataclasses.replace(t.runner, steps=steps, burnin=0),
+                 state=t.state, key=t.key, pos=t.pos)
         for t in targets
     ]
     return run(new, **kwargs)

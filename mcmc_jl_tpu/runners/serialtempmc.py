@@ -97,7 +97,14 @@ def _temp_scan(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
             )
         else:
             states = states[:i] + (st,) + states[i + 1:]
-        return states, (info["ppars"], info["logtarget"])
+        # returns (post-step position, post-step lp, pre-step lp).  After a
+        # reset the pre-step lp is exactly lp_rung(walker position) — the
+        # quantity the swap ratio needs.  NOTE deliberate deviation from the
+        # reference, which carries the stale pre-step lp as the walker's own
+        # density (SerialTempMC.jl:52,72): we carry plogtarget, so the swap
+        # ratio compares both rungs at the position the walker actually
+        # holds.
+        return states, (info["ppars"], info["plogtarget"], info["logtarget"])
 
     def one_step(carry, inp):
         states, at, pars, logtarget, logW = carry
@@ -114,19 +121,21 @@ def _temp_scan(models, samplers, ctxs, states, pars0, lp0, key, *, steps,
             lambda sts, p, k, rst, _i=_i: step_rung(_i, sts, p, k, rst)
             for _i in range(nmods)
         ]
-        states, (ppars, lp_new) = jax.lax.switch(
+        states, (ppars, lp_post, lp_pre) = jax.lax.switch(
             target, branches, states, pars, k_step, do_swap
         )
 
-        # Metropolis swap on tempered weights (SerialTempMC.jl:62-66)
-        ratio = logtarget - lp_new + logW[at2] - logW[at]
+        # Metropolis swap on tempered weights (SerialTempMC.jl:62-66):
+        # lp_pre = lp_rung2(x) after the reset, so both terms are densities
+        # of the same walker position x under the two rungs
+        ratio = logtarget - lp_pre + logW[at2] - logW[at]
         u = jnp.log(jax.random.uniform(k_acc, ()))
         take = jnp.where(do_swap,
                          jnp.where(jnp.isnan(ratio), False, u < ratio),
                          True)
         new_at = jnp.where(do_swap & take, at2, at)
         new_pars = jnp.where(take, ppars, pars)
-        new_lp = jnp.where(take, lp_new, logtarget)
+        new_lp = jnp.where(take, lp_post, logtarget)
 
         if adapt_weights:
             logW = logW.at[new_at].add(-1.0 / i)
@@ -178,7 +187,7 @@ def _run_on_device(tasks, key, t0, stacked=True):
     key, k0, k_run = jax.random.split(key, 3)
     st0, info0 = _one_step(tasks[0].model, tasks[0].sampler,
                            RunCtx(burnin=burnin), states[0], k0)
-    pars0, lp0 = info0["ppars"], info0["logtarget"]
+    pars0, lp0 = info0["ppars"], info0["plogtarget"]
 
     state_arg = (jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
                  if stacked else tuple(states))
@@ -214,7 +223,7 @@ def _run_host(tasks, key, seed, t0):
     key, k0 = jax.random.split(key)
     states[at], info = _one_step(tasks[at].model, tasks[at].sampler, ctxs[at],
                                  states[at], k0)
-    pars, logtarget = info["ppars"], info["logtarget"]
+    pars, logtarget = info["ppars"], info["plogtarget"]
 
     samples = np.empty((steps - burnin, tsize))
     rungs = np.empty(steps - burnin, dtype=np.int64)
@@ -238,7 +247,7 @@ def _run_host(tasks, key, seed, t0):
         if runner.adapt_weights:
             logW[at] -= 1.0 / i
         pars = info["ppars"]
-        logtarget = info["logtarget"]
+        logtarget = info["plogtarget"]
         if i > burnin:
             samples[i - burnin - 1] = np.asarray(pars)
             rungs[i - burnin - 1] = at + 1
@@ -265,7 +274,7 @@ def resume_serialtempmc(tasks, steps: int = 100, **kwargs):
 
     new = [
         MCMCTask(t.model, t.sampler,
-                 SerialTempMC(steps=steps, swap_period=t.runner.swap_period),
+                 dataclasses.replace(t.runner, steps=steps, burnin=0),
                  state=t.state, key=t.key, pos=t.pos)
         for t in tasks
     ]

@@ -209,6 +209,9 @@ class HMC(Sampler):
             extra = {
                 "leaps_pars": jnp.concatenate([state.pars[None], traj_pars], axis=0),
                 "leaps_H": jnp.concatenate([H0[None], traj_H], axis=0),
+                # live trajectory length: with a tuner, rows past nl are
+                # frozen endpoint copies that mean_rb must mask out
+                "leaps_n": jnp.asarray(nl, jnp.int32),
             }
         if kind == "dense":  # back to theta-space
             pars, g = fwd(pars), ginv(g)

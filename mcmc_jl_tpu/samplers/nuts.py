@@ -106,31 +106,14 @@ class NUTS(Sampler):
 
     # ------------------------------------------------------------------
     def init(self, model, theta0, key):
+        from .hmcda import find_reasonable_step
+
         lp, g = model.evalallg(theta0)
         scale = model.scale.astype(theta0.dtype)
         m = jax.random.normal(key, theta0.shape, dtype=theta0.dtype) * scale
-        # initial step size heuristic (NUTS.jl:72-82), bounded for safety
-        H0 = hamiltonian(lp, m)
-
-        def accept_ratio(eps):
-            _, lp1, _, m1 = leapfrog(model, theta0, m, g, eps)
-            r = jnp.exp(H0 - hamiltonian(lp1, m1))
-            return jnp.where(jnp.isnan(r), 0.0, r)
-
-        eps0 = jnp.asarray(1.0, dtype=theta0.dtype)
-        r0 = accept_ratio(eps0)
-        a = jnp.where(r0 > 0.5, 1.0, -1.0)
-
-        def cond(carry):
-            eps, r, it = carry
-            return (r**a > 2.0 ** (-a)) & (it < 100)
-
-        def body(carry):
-            eps, r, it = carry
-            eps = eps * 2.0**a
-            return eps, accept_ratio(eps), it + 1
-
-        eps, _, _ = jax.lax.while_loop(cond, body, (eps0, r0, jnp.asarray(0)))
+        # initial step size heuristic (NUTS.jl:72-82 — the same
+        # doubling/halving probe HMCDA uses, HMCDA.jl:51-69), bounded
+        eps = find_reasonable_step(model, theta0, lp, g, m, key)
 
         return NUTSState(
             pars=theta0, logtarget=lp, grad=g,

@@ -39,7 +39,17 @@ def mean_rb(c: MCMCChain, pars=None, method: str = "hmc"):
     # w[i, j] = exp(H_1 - H_{j+1}) (mean.jl:17-21)
     w = np.exp(H[:, :1] - H[:, 1:])  # (nsamples, nleaps)
     x = _columns(c)
-    sums = (x + np.einsum("ij,ijk->ik", w, leaps[:, 1:, :])) / (nleaps + 1)
+    if "leaps_n" in c.diagnostics:
+        # tuner-adapted trajectories: rows j >= nl are frozen endpoint
+        # copies (shape-static scan buffers) — mask them so the estimator
+        # matches the reference's equal-state average over live leaps
+        nl = np.asarray(c.diagnostics["leaps_n"], dtype=np.int64)
+        mask = np.arange(nleaps)[None, :] < nl[:, None]
+        w = w * mask
+        denom = (nl + 1.0)[:, None]
+    else:
+        denom = float(nleaps + 1)
+    sums = (x + np.einsum("ij,ijk->ik", w, leaps[:, 1:, :])) / denom
     res = np.mean(sums, axis=0)
     if pars is not None:
         res = res[pars]

@@ -46,8 +46,10 @@ def describe(c: MCMCChain, io=None, quantiles=(0.025, 0.25, 0.5, 0.75, 0.975)):
         nas = int(np.sum(~np.isfinite(col)))
         filtered = col[np.isfinite(col)]
         if filtered.size == 0:
+            # the reference `return`s here (summary.jl:31-33), silently
+            # truncating the report; we keep summarizing the other columns
             print(f"{name} * All NA * ", file=io)
-            return
+            continue
         varimse = float(mcvar_imse(filtered[:, None])[0])
         variid = float(np.var(filtered, ddof=1) / nrows)
         stats = [

@@ -148,3 +148,27 @@ def test_censoring_wrappers():
     x = jnp.asarray(0.7)
     np.testing.assert_allclose(float((+d).logpdf(x)), float(d.logccdf(x)))
     np.testing.assert_allclose(float((-d).logpdf(x)), float(d.logcdf(x)))
+
+
+def test_mvnormal_batched_logpdf():
+    """(k, d) batches with k != d must work and match per-row evaluation
+    (review finding: solve_triangular treated the batch as an RHS matrix)."""
+    rng = np.random.default_rng(3)
+    d = 3
+    A = rng.standard_normal((d, d))
+    cov = A @ A.T + d * np.eye(d)
+    mu = rng.standard_normal(d)
+    Dm = D.MvNormal(jnp.asarray(mu), jnp.asarray(cov))
+    X = rng.standard_normal((5, d))
+    got = np.asarray(Dm.logpdf(jnp.asarray(X)))
+    want = st.multivariate_normal(mu, cov).logpdf(X)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    # square batch (k == d) used to silently compute the wrong densities
+    Xd = rng.standard_normal((d, d))
+    np.testing.assert_allclose(np.asarray(Dm.logpdf(jnp.asarray(Xd))),
+                               st.multivariate_normal(mu, cov).logpdf(Xd),
+                               rtol=1e-8)
+    # scalar event unchanged
+    np.testing.assert_allclose(float(Dm.logpdf(jnp.asarray(X[0]))),
+                               st.multivariate_normal(mu, cov).logpdf(X[0]),
+                               rtol=1e-8)

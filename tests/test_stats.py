@@ -242,3 +242,21 @@ def test_geyer_floor_on_antithetic_chain():
     assert v_imse[0] > 0 and v_ipse[0] > 0
     ess = n * mcvar_iid(x) / v_imse
     assert ess[0] <= n * np.log10(n) * 1.2
+
+
+def test_mean_rb_masks_adapted_trajectories():
+    """With a tuner, trajectory buffers are max_step rows long but only the
+    adapted n_leaps are live; mean_rb must mask the frozen endpoint copies
+    (review finding: duplicates biased the RB mean toward endpoints)."""
+    m = mc.model(lambda v: -jnp.dot(v, v), grad=lambda v: -2 * v,
+                 init=jnp.ones(3))
+    tuner = mc.EmpMCTuner(0.8, adapt_step=50, max_step=40)
+    chain = mc.run(
+        m * mc.HMC(5, 0.3, True, tuner) * mc.SerialMC(steps=2500, burnin=500)
+    )
+    assert "leaps_n" in chain.diagnostics
+    nl = np.asarray(chain.diagnostics["leaps_n"])
+    assert nl.max() <= 40 and nl.min() >= 1
+    rb = mc.mean_rb(chain)
+    # unbiased around the true zero mean
+    assert np.all(np.abs(rb) < 0.15), rb
