@@ -32,18 +32,9 @@ from .massadapt import (
 )
 
 
-def leapfrog(model, pars, m, grad, eps):
-    """One leapfrog step (reference HMC.jl:93-102). Returns updated
-    (pars, logtarget, grad, momentum)."""
-    m_half = m + 0.5 * eps * grad
-    new_pars = pars + eps * m_half
-    lp, g = model.evalallg(new_pars)
-    new_m = m_half + 0.5 * eps * g
-    return new_pars, lp, g, new_m
-
-
-def hamiltonian(lp, m):
-    return -lp + 0.5 * jnp.dot(m, m)
+# canonical home of the integrator family (leapfrog + BCSS multi-stage);
+# re-exported here because hmcda/nuts/ops historically import from hmc
+from .integrators import get_integrator, hamiltonian, leapfrog  # noqa: F401
 
 
 @pytree_dataclass
@@ -81,12 +72,16 @@ class HMC(Sampler):
     tuner: Optional[EmpMCTuner] = None
     #: False | True/"diag" (continuous Welford) | "diag-win" | "dense"
     mass_adapt: object = False
+    #: "leapfrog" (reference parity) | "2stage" | "3stage" — BCSS
+    #: minimum-error splitting schemes (samplers/integrators.py); n_leaps
+    #: counts macro steps, each costing 1/2/3 gradient evaluations
+    integrator: str = "leapfrog"
 
     needs_gradient = True
 
     def __init__(self, *args, n_leaps=None, leap_step=None, store_leaps=None,
                  tuner=None, init=None, scale=None, leaps=None,
-                 mass_adapt=False):
+                 mass_adapt=False, integrator="leapfrog"):
         """Positional-convenience constructors mirroring the reference's
         overloads (HMC.jl:70-80): ``HMC()``, ``HMC(n)``, ``HMC(eps)``,
         ``HMC(n, eps)``, trailing tuner allowed; plus the kwargs form
@@ -122,6 +117,8 @@ class HMC(Sampler):
         object.__setattr__(self, "tuner", tuner)
         mass_kind(mass_adapt)  # validate early
         object.__setattr__(self, "mass_adapt", mass_adapt)
+        get_integrator(integrator)  # validate early
+        object.__setattr__(self, "integrator", integrator)
 
     @property
     def _kind(self):
@@ -177,11 +174,12 @@ class HMC(Sampler):
 
         m0 = jax.random.normal(k_mom, state.pars.shape, dtype=dtype)
         H0 = hamiltonian(state.logtarget, m0)
+        step_fn, _ = get_integrator(self.integrator)
 
         if not self.store_leaps:
             def body(j, carry):
                 pars, lp, g, m = carry
-                return leapfrog(work_model, pars, m, g, eps)
+                return step_fn(work_model, pars, m, g, eps)
 
             pars, lp, g, m = jax.lax.fori_loop(
                 0, nl, body, (pars0, state.logtarget, grad0, m0)
@@ -192,7 +190,7 @@ class HMC(Sampler):
 
             def sbody(carry, j):
                 pars, lp, g, m = carry
-                new = leapfrog(work_model, pars, m, g, eps)
+                new = step_fn(work_model, pars, m, g, eps)
                 carry2 = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(j < nl, b, a), carry, new
                 )

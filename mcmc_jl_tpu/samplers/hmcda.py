@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import RunCtx, Sampler, pytree_dataclass
-from .hmc import hamiltonian, leapfrog
+from .integrators import get_integrator, hamiltonian, leapfrog
 
 
 @pytree_dataclass
@@ -68,17 +68,22 @@ class HMCDA(Sampler):
     t0: float = 10.0
     step_pow: float = 0.75  # the reference's `step` kwarg (t^-step schedule)
     store_leaps: bool = False  # accepted for API parity; trajectories not stored
+    #: "leapfrog" | "2stage" | "3stage" (samplers/integrators.py); trajectory
+    #: length `len` still counts macro steps of size eps
+    integrator: str = "leapfrog"
 
     needs_gradient = True
 
     def __init__(self, rate=0.65, len=2.0, shrinkage=0.05, t0=10.0, step=0.75,
-                 store_leaps=False, step_pow=None):
+                 store_leaps=False, step_pow=None, integrator="leapfrog"):
         object.__setattr__(self, "rate", float(rate))
         object.__setattr__(self, "len", float(len))
         object.__setattr__(self, "shrinkage", float(shrinkage))
         object.__setattr__(self, "t0", float(t0))
         object.__setattr__(self, "step_pow", float(step if step_pow is None else step_pow))
         object.__setattr__(self, "store_leaps", bool(store_leaps))
+        get_integrator(integrator)  # validate early
+        object.__setattr__(self, "integrator", integrator)
         self.__post_init__()
 
     def __post_init__(self):
@@ -113,10 +118,11 @@ class HMCDA(Sampler):
         H0 = hamiltonian(state.logtarget, m0)
 
         n_leaps = jnp.maximum(1, jnp.round(self.len / eps)).astype(jnp.int32)
+        step_fn, _ = get_integrator(self.integrator)
 
         def body(j, carry):
             pars, lp, g, m = carry
-            return leapfrog(model, pars, m, g, eps)
+            return step_fn(model, pars, m, g, eps)
 
         pars, lp, g, m = jax.lax.fori_loop(
             0, n_leaps, body, (state.pars, state.logtarget, state.grad, m0)
