@@ -26,7 +26,7 @@ from .models.distributions import (
 from .core.task import MCMCTask
 from .core.chain import MCMCChain
 from .samplers import (
-    RWM, IMH, RAM, MALA, HMC, HMCDA, NUTS, SMMALA, PMALA, RMHMC, ERMLMC,
+    RWM, IMH, RAM, MALA, HMC, HMCDA, NUTS, WALNUTS, SMMALA, PMALA, RMHMC, ERMLMC,
     RMLMC, EmpMCTuner, slice_sample,
 )
 from .runners.serialmc import SerialMC
@@ -52,7 +52,7 @@ __all__ = [
     "Binomial", "Beta", "Laplace", "Bernoulli", "TDist", "Exponential",
     "Poisson", "MvNormal",
     "MCMCTask", "MCMCChain",
-    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "SMMALA", "PMALA",
+    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS", "SMMALA", "PMALA",
     "RMHMC", "ERMLMC", "RMLMC", "EmpMCTuner", "slice_sample",
     "SerialMC", "SeqMC", "SerialTempMC", "PTMC",
     "run", "resume", "prun",

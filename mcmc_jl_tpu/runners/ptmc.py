@@ -42,11 +42,16 @@ class PTMC:
     burnin: int = 0
     swap_period: int = 5
     betas: Tuple[float, ...] = (0.1, 0.3, 0.6, 1.0)
+    #: independent ladders run as one (walkers, K) batch — the fully
+    #: vectorized tempering of SURVEY §2.4 / ROADMAP item 5; returns a list
+    #: of cold-rung chains when > 1
+    walkers: int = 1
 
     def __post_init__(self):
         assert self.burnin >= 0
         assert self.steps > self.burnin
         assert self.swap_period >= 1
+        assert self.walkers >= 1
         b = tuple(self.betas)
         assert len(b) >= 2 and all(x > 0 for x in b), "betas must be positive"
         assert all(b[i] < b[i + 1] for i in range(len(b) - 1)), (
@@ -156,8 +161,11 @@ def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas):
     return states, ys
 
 
-def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None):
-    """Run replica-exchange tempering; returns the cold-rung chain."""
+def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
+    """Run replica-exchange tempering; returns the cold-rung chain (or a
+    list of them with ``walkers > 1`` — independent ladders advanced as one
+    (walkers, K) vmapped batch, optionally sharded over ``mesh``'s 'chains'
+    axis)."""
     sampler.check(model)
     t0 = time.time()
     if key is None:
@@ -165,31 +173,66 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None):
     key, k_init, k_run = jax.random.split(key, 3)
 
     K = len(runner.betas)
-    init_keys = jax.random.split(k_init, K)
-    states = jax.vmap(
-        lambda b, k: sampler.init(_tempered_view(model, b), model.init, k)
-    )(jnp.asarray(runner.betas, dtype=model.init.dtype), init_keys)
+    W = runner.walkers
+    betas_arr = jnp.asarray(runner.betas, dtype=model.init.dtype)
+
+    def init_ladder(k):
+        return jax.vmap(
+            lambda b, kk: sampler.init(_tempered_view(model, b), model.init, kk)
+        )(betas_arr, jax.random.split(k, K))
 
     ctx = RunCtx(burnin=runner.burnin)
-    final_states, ys = _ptmc_scan(
-        model, sampler, ctx, states, k_run,
-        steps=runner.steps, swap_period=runner.swap_period, betas=runner.betas,
-    )
+
+    if W == 1:
+        states = init_ladder(k_init)
+        final_states, ys = _ptmc_scan(
+            model, sampler, ctx, states, k_run,
+            steps=runner.steps, swap_period=runner.swap_period,
+            betas=runner.betas,
+        )
+    else:
+        states = jax.vmap(init_ladder)(jax.random.split(k_init, W))
+        if mesh is not None:
+            # shard the walker axis; XLA propagates through the vmapped scan
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            states = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(mesh, P(*(("chains",) + (None,) * (x.ndim - 1)))),
+                ),
+                states,
+            )
+        final_states, ys = jax.vmap(
+            lambda st, k: _ptmc_scan(
+                model, sampler, ctx, st, k,
+                steps=runner.steps, swap_period=runner.swap_period,
+                betas=runner.betas,
+            )
+        )(states, jax.random.split(k_run, W))
 
     keep = slice(runner.burnin, None)
-    samples = np.asarray(ys["ppars"])[keep]
     cn = model.column_names()
-    chain = MCMCChain(
-        range=range(runner.burnin + 1, runner.steps + 1),
-        samples=Table(samples, cn),
-        gradients=Table(np.zeros((0, model.size)), cn),
-        diagnostics={
-            "accept": np.asarray(ys["accept"])[keep],
-            "nswaps": np.asarray(ys["nswaps"])[keep],
-            "logtarget": np.asarray(ys["plogtarget"])[keep],
-        },
-        task=MCMCTask(model, sampler, runner, state=final_states, key=key,
-                      pos=runner.steps),
-        run_time=time.time() - t0,
-    )
-    return chain
+
+    def one_chain(w):
+        sel = (lambda a: a) if W == 1 else (lambda a: a[w])
+        samples = np.asarray(sel(ys["ppars"]))[keep]
+        fstate = (final_states if W == 1 else
+                  jax.tree_util.tree_map(lambda x: x[w], final_states))
+        return MCMCChain(
+            range=range(runner.burnin + 1, runner.steps + 1),
+            samples=Table(samples, cn),
+            gradients=Table(np.zeros((0, model.size)), cn),
+            diagnostics={
+                "accept": np.asarray(sel(ys["accept"]))[keep],
+                "nswaps": np.asarray(sel(ys["nswaps"]))[keep],
+                "logtarget": np.asarray(sel(ys["plogtarget"]))[keep],
+            },
+            task=MCMCTask(model, sampler, runner, state=fstate, key=key,
+                          pos=runner.steps),
+            run_time=time.time() - t0,
+        )
+
+    if W == 1:
+        return one_chain(0)
+    return [one_chain(w) for w in range(W)]

@@ -12,6 +12,7 @@ from .mala import MALA
 from .hmc import HMC
 from .hmcda import HMCDA
 from .nuts import NUTS
+from .walnuts import WALNUTS
 from .smmala import SMMALA
 from .pmala import PMALA
 from .rmhmc import RMHMC
@@ -20,6 +21,6 @@ from .slice import slice_sample
 
 __all__ = [
     "Sampler", "RunCtx", "EmpMCTuner",
-    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS",
+    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS",
     "SMMALA", "PMALA", "RMHMC", "ERMLMC", "RMLMC", "slice_sample",
 ]

@@ -130,6 +130,20 @@ class NUTS(Sampler):
         return state.replace(pars=theta, logtarget=lp, grad=g)
 
     # ------------------------------------------------------------------
+    #: dual-averaging statistic: "accept" (Hoffman-Gelman alpha) or
+    #: "halvings" (WALNUTS: fraction of macro steps integrable un-halved)
+    _adapt_stat = "accept"
+
+    def _leaf_advance(self, model, pars, lp, m, grad, eps_signed, key):
+        """Advance the orbit by one macro-grid state from (pars, lp, grad).
+        Returns (pars, lp, grad, m, bad, halved): ``bad`` marks a leaf whose
+        construction failed for reasons beyond the energy gate (always False
+        for plain NUTS; WALNUTS uses it for irreversible adaptive steps,
+        which are handled exactly like divergences); ``halved`` feeds the
+        "halvings" adaptation statistic."""
+        pars, lp, g, m = leapfrog(model, pars, m, grad, eps_signed)
+        return pars, lp, g, m, jnp.asarray(False), jnp.asarray(False)
+
     def _build_subtree(self, model, z_edge, eps_signed, dirn, n_leaves, u_slice,
                        H0, key):
         """Iteratively build a subtree of ``n_leaves`` leapfrog leaves from
@@ -152,14 +166,22 @@ class NUTS(Sampler):
             return (c["k"] < n_leaves) & c["ok"]
 
         def body(c):
-            key, k_sel = jax.random.split(c["key"])
-            pars, lp, grad, m = leapfrog(model, c["pars"], c["m"], c["grad"],
-                                         eps_signed)
+            key, k_sel, k_leaf = jax.random.split(c["key"], 3)
+            pars, lp, grad, m, bad, halved = self._leaf_advance(
+                model, c["pars"], c["lp"], c["m"], c["grad"], eps_signed,
+                k_leaf
+            )
             H = hamiltonian(lp, m)
-            diverged = (u_slice >= DELTAMAX - H) | jnp.isnan(H)  # NUTS.jl:92
+            diverged = (u_slice >= DELTAMAX - H) | jnp.isnan(H) | bad  # NUTS.jl:92
             leaf_ok = ~diverged
-            alpha_leaf = jnp.minimum(1.0, jnp.exp(H0 - H))
-            alpha_leaf = jnp.where(jnp.isnan(alpha_leaf), 0.0, alpha_leaf)
+            if self._adapt_stat == "halvings":
+                # WALNUTS: micro adaptation keeps exp(H0-H) near 1 at any
+                # macro step, so the H-G alpha cannot regulate eps; target
+                # the fraction of macro steps integrable without halving
+                alpha_leaf = jnp.where(bad | halved, 0.0, 1.0)
+            else:
+                alpha_leaf = jnp.minimum(1.0, jnp.exp(H0 - H))
+                alpha_leaf = jnp.where(jnp.isnan(alpha_leaf), 0.0, alpha_leaf)
 
             if self.multinomial:
                 # Boltzmann-weighted reservoir (Betancourt 2017 A.3.1)

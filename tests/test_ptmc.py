@@ -92,3 +92,27 @@ def test_nuts_divergence_diagnostic():
                   init=jnp.ones(2))
     c2 = mc.run(m2 * mc.NUTS() * mc.SerialMC(steps=400), seed=0)
     assert np.mean(c2.diagnostics["diverging"]) < 0.05
+
+
+def test_ptmc_walkers_batch():
+    """walkers=W runs W independent ladders as one (W, K) vmapped batch
+    (ROADMAP item 5: fully vectorized ladder tempering), optionally sharded
+    over a mesh 'chains' axis."""
+    import jax
+    from jax.sharding import Mesh
+
+    m = _bimodal()
+    runner = mc.PTMC(steps=5000, burnin=500, swap_period=5,
+                     betas=(0.02, 0.08, 0.25, 0.6, 1.0), walkers=4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("chains",))
+    chains = mc.run(m, mc.RWM(0.5), runner, seed=0, mesh=mesh)
+    assert isinstance(chains, list) and len(chains) == 4
+    # each walker's cold rung crosses both modes
+    for c in chains:
+        x = c.samples.values[:, 0]
+        assert (x < -1).mean() > 0.03 and (x > 1).mean() > 0.03
+    # pooled over walkers the mode masses balance
+    xs = np.stack([c.samples.values[:, 0] for c in chains])
+    assert 0.25 < (xs < 0).mean() < 0.75
+    # walkers are independent (different draws)
+    assert not np.allclose(chains[0].samples.values, chains[1].samples.values)
