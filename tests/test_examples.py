@@ -141,3 +141,20 @@ def test_poisson_regression_example():
         X.T @ (np.exp(log_e + X @ beta_true)[:, None] * X) + 0.01 * np.eye(3))))
     assert np.all(np.abs(est - beta_true) < 6 * (se + fisher_sd)), (
         est, beta_true, se, fisher_sd)
+
+
+def test_funnel_example():
+    """examples/funnel.py (reference workload: test/test_ss.jl), scaled for
+    CI: slice_sample and WALNUTS both recover the v-marginal neck."""
+    import funnel
+
+    m = funnel.make_model()
+    c = mc.run(m, mc.WALNUTS(maxdoublings=7, max_halvings=5),
+               mc.SerialMC(steps=4000, burnin=1000), seed=0)
+    v = c.samples.values[:, 0]
+    assert abs(v.mean()) < 1.0 and v.var() > 5.5, (v.mean(), v.var())
+
+    xs = funnel.mc.slice_sample(m.eval, jnp.zeros(funnel.DIM_X + 1), 3000,
+                                widths=5.0, seed=0)
+    vs = np.asarray(xs)[1000:, 0]
+    assert abs(vs.mean()) < 1.0 and vs.var() > 5.0, (vs.mean(), vs.var())

@@ -39,6 +39,9 @@ CASES = [
     ("NUTS+multinomial", mc.NUTS(multinomial=True), 6000, 1000),
     ("NUTS+multinomial+dense", mc.NUTS(multinomial=True, mass_adapt="dense"),
      6000, 1000),
+    ("WALNUTS", mc.WALNUTS(multinomial=True), 6000, 1000),
+    ("HMC+2stage", mc.HMC(5, 0.6, integrator="2stage"), 6000, 1000),
+    ("HMC+3stage", mc.HMC(4, 0.9, integrator="3stage"), 6000, 1000),
     ("SMMALA", mc.SMMALA(1.2), 10000, 2000),
     ("PMALA", mc.PMALA(1.2), 10000, 2000),
     ("RMHMC", mc.RMHMC(4, 0.6), 3000, 500),
