@@ -25,10 +25,10 @@ from .pallas_glm import glm_hmc_leapfrogs, pad_chains, pad_design
 
 @partial(jax.jit, static_argnames=("d", "steps", "n_leaps", "block_chains",
                                    "interpret", "mxu_dtype", "kind", "lam",
-                                   "collect"))
+                                   "collect", "integrator"))
 def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
          interpret, mxu_dtype=jnp.float32, kind="logistic", W=None, O=None,
-         lam=1.0, collect=False):
+         lam=1.0, collect=False, integrator="leapfrog"):
     """Scan ``steps`` fused-HMC transitions for all chains.
 
     ``collect=False`` (bench mode) emits only (plogtarget, accept) per step;
@@ -67,7 +67,7 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
             XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
             block_chains=block_chains, interpret=interpret,
             mxu_dtype=mxu_dtype, kind=kind,
-            weights=W, offsets=O, prior_prec=lam,
+            weights=W, offsets=O, prior_prec=lam, integrator=integrator,
         )
         H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
         ratio = H0 - H
@@ -90,7 +90,8 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
 def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
                 key=None, inits=None, block_chains=256, interpret=False,
                 mxu_dtype=jnp.float32, kind="logistic",
-                weights=None, offsets=None, prior_prec=1.0):
+                weights=None, offsets=None, prior_prec=1.0,
+                integrator="leapfrog"):
     """Sample a GLM posterior with the fused Pallas HMC path.
 
     ``kind`` is a built-in link name or a custom ``(ll, resid)`` pair;
@@ -119,6 +120,7 @@ def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,
         XT, Y2, theta0, jnp.float32(eps), k_run, d=d, steps=steps,
         n_leaps=n_leaps, block_chains=block, interpret=interpret,
         mxu_dtype=mxu_dtype, kind=kind, W=W, O=O, lam=float(prior_prec),
+        integrator=integrator,
     )
     return theta[:, :d], infos
 
@@ -161,6 +163,7 @@ def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None):
         d=d, steps=runner.len, n_leaps=sampler.n_leaps,
         block_chains=_pick_block(n_chains), interpret=interpret,
         kind=spec.kind, W=W, O=O, lam=float(spec.prior_prec), collect=True,
+        integrator=sampler.integrator,
     )
     infos = {k: (v[..., :d] if v.ndim == 3 else v) for k, v in infos.items()}
 

@@ -30,6 +30,9 @@ import numpy as np
 LANE = 128
 
 
+from ..samplers.integrators import _A3 as A3STAGE, _B2 as B2STAGE, _B3 as B3STAGE
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
@@ -86,7 +89,8 @@ def jsp_log_ndtr(z):
     return jsp.log_ndtr(z)
 
 
-def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior):
+def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
+            integrator="leapfrog"):
     """One HMC trajectory (n_leaps leapfrogs) for a block of chains.
 
     ``use_w``/``use_o``/``unit_prior`` are trace-time flags: the default
@@ -143,13 +147,43 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior):
         )
         return lp, g
 
-    def body(_, carry):
-        theta, m, g = carry
-        m = m + 0.5 * eps * g
-        theta = theta + eps * m
-        g = grad_only(theta)
-        m = m + 0.5 * eps * g
-        return theta, m, g
+    # trace-time integrator selection (samplers/integrators.py family):
+    # per macro step, leapfrog costs 1 grad matmul pair, 2stage 2, 3stage 3
+    if integrator == "leapfrog":
+        def body(_, carry):
+            theta, m, g = carry
+            m = m + 0.5 * eps * g
+            theta = theta + eps * m
+            g = grad_only(theta)
+            m = m + 0.5 * eps * g
+            return theta, m, g
+    elif integrator == "2stage":
+        def body(_, carry, b=B2STAGE):
+            theta, m, g = carry
+            m = m + b * eps * g
+            theta = theta + 0.5 * eps * m
+            g = grad_only(theta)
+            m = m + (1.0 - 2.0 * b) * eps * g
+            theta = theta + 0.5 * eps * m
+            g = grad_only(theta)
+            m = m + b * eps * g
+            return theta, m, g
+    elif integrator == "3stage":
+        def body(_, carry, a=A3STAGE, b=B3STAGE):
+            theta, m, g = carry
+            m = m + b * eps * g
+            theta = theta + a * eps * m
+            g = grad_only(theta)
+            m = m + (0.5 - b) * eps * g
+            theta = theta + (1.0 - 2.0 * a) * eps * m
+            g = grad_only(theta)
+            m = m + (0.5 - b) * eps * g
+            theta = theta + a * eps * m
+            g = grad_only(theta)
+            m = m + b * eps * g
+            return theta, m, g
+    else:
+        raise ValueError(f"unknown integrator {integrator!r}")
 
     theta, m, g = jax.lax.fori_loop(
         0, n_leaps, body, (theta_ref[:], m_ref[:], grad_ref[:])
@@ -165,13 +199,14 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior):
 @functools.partial(
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
-                     "kind", "_use_w", "_use_o", "_unit_prior"),
+                     "kind", "_use_w", "_use_o", "_unit_prior", "integrator"),
 )
 def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
                      block_chains=256, interpret=False,
                      mxu_dtype=jnp.float32, kind="logistic",
                      weights=None, offsets=None, prior_prec=1.0,
-                     _use_w=False, _use_o=False, _unit_prior=True):
+                     _use_w=False, _use_o=False, _unit_prior=True,
+                     integrator="leapfrog"):
     """Run ``n_leaps`` fused leapfrogs for all chains.
 
     Args:
@@ -220,7 +255,7 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     out = pl.pallas_call(
         functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
-                          unit_prior=_unit_prior),
+                          unit_prior=_unit_prior, integrator=integrator),
         grid=grid,
         in_specs=in_specs,
         out_specs=[chain_spec, chain_spec, chain_spec,
@@ -241,7 +276,8 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
 def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
                       block_chains=256, interpret=False,
                       mxu_dtype=jnp.float32, kind="logistic",
-                      weights=None, offsets=None, prior_prec=1.0):
+                      weights=None, offsets=None, prior_prec=1.0,
+                      integrator="leapfrog"):
     """Public fused-trajectory entry (docs on :func:`_leapfrogs_inner`).
     Derives the trace-time specialization flags, so the default call compiles
     the exact pre-extension kernel."""
@@ -251,7 +287,7 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
         block_chains=block_chains, interpret=interpret, mxu_dtype=mxu_dtype,
         kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
         _use_w=weights is not None, _use_o=offsets is not None,
-        _unit_prior=unit,
+        _unit_prior=unit, integrator=integrator,
     )
 
 

@@ -157,6 +157,9 @@ def _fused_eligible(task):
         and s.tuner is None
         and not s.store_leaps
         and s._kind is None
+        # the kernel implements the whole integrator family; anything else
+        # must fall back to the generic engine rather than silently leapfrog
+        and s.integrator in ("leapfrog", "2stage", "3stage")
     )
 
 

@@ -235,6 +235,7 @@ class NUTS(Sampler):
                 "k": k + 1, "pars": pars, "lp": lp, "grad": grad, "m": m,
                 "prop_pars": prop_pars, "prop_lp": prop_lp, "prop_grad": prop_grad,
                 "n": n_new, "lw": lw_new, "ok": ok, "div": c["div"] | diverged,
+                "irr": c["irr"] | bad,
                 "alpha": c["alpha"] + alpha_leaf, "nalpha": c["nalpha"] + 1,
                 "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
             }
@@ -245,7 +246,7 @@ class NUTS(Sampler):
             "prop_pars": pars, "prop_lp": lp, "prop_grad": grad,
             "n": jnp.asarray(0, jnp.int32), "lw": jnp.asarray(-jnp.inf, dtype),
             "ok": jnp.asarray(True),
-            "div": jnp.asarray(False),
+            "div": jnp.asarray(False), "irr": jnp.asarray(False),
             "alpha": jnp.asarray(0.0, dtype), "nalpha": jnp.asarray(0, jnp.int32),
             "ckpt_pars": ckpt_pars, "ckpt_m": ckpt_m, "key": key,
         }
@@ -253,7 +254,7 @@ class NUTS(Sampler):
         z_end = (out["pars"], out["m"], out["lp"], out["grad"])
         prop = (out["prop_pars"], out["prop_lp"], out["prop_grad"])
         return (z_end, prop, out["n"], out["ok"], out["alpha"], out["nalpha"],
-                out["div"], out["lw"])
+                out["div"], out["lw"], out["irr"])
 
     # ------------------------------------------------------------------
     def step(self, model, ctx: RunCtx, state, key):
@@ -324,7 +325,8 @@ class NUTS(Sampler):
                 lambda p, mn: jnp.where(go_fwd, p, mn), c["z_plus"], c["z_minus"]
             )
             n_leaves = jnp.asarray(1, jnp.int32) << c["j"]
-            z_end, prop1, n1, s1, alpha, nalpha, div, lw1 = self._build_subtree(
+            (z_end, prop1, n1, s1, alpha, nalpha, div, lw1,
+             irr) = self._build_subtree(
                 tree_model, edge, dirn * eps, dirn, n_leaves, u_slice, H0, k_sub
             )
             z_plus = jax.tree_util.tree_map(
@@ -358,7 +360,7 @@ class NUTS(Sampler):
                 "j": c["j"] + 1, "n": c["n"] + n1, "lw": lw_tot, "s": s,
                 "z_minus": z_minus, "z_plus": z_plus, "prop": prop,
                 "alpha": alpha, "nalpha": nalpha, "key": key,
-                "div": c["div"] | div,
+                "div": c["div"] | div, "irr": c["irr"] | irr,
             }
 
         init = {
@@ -369,6 +371,7 @@ class NUTS(Sampler):
             "prop": (pars_t, state.logtarget, grad_t),
             "alpha": jnp.asarray(1.0, dtype), "nalpha": jnp.asarray(1, jnp.int32),
             "key": k_tree, "div": jnp.asarray(False),
+            "irr": jnp.asarray(False),
         }
         out = jax.lax.while_loop(cond, body, init)
         new_pars, new_lp, new_grad = out["prop"]
@@ -401,6 +404,10 @@ class NUTS(Sampler):
             "ndoublings": out["j"],
             "diverging": out["div"],
         }
+        if self._adapt_stat == "halvings":
+            # WALNUTS only: how often a subtree died to an irreversible
+            # adaptive step (vs a true energy divergence)
+            info["irreversible"] = out["irr"]
         return (
             NUTSState(
                 pars=new_pars, logtarget=new_lp, grad=new_grad,

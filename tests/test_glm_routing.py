@@ -101,3 +101,24 @@ def test_glmspec_identity_hash():
     hash(m.glm_spec)  # must not raise
     assert m.glm_spec == m.glm_spec
     assert m.glm_spec != mc.model(glm=("logistic", X, Y)).glm_spec
+
+
+def test_fused_routing_multistage_integrator():
+    """HMC(integrator="2stage") on a GLM posterior routes through the fused
+    kernel (which implements the scheme) and matches the generic engine."""
+    from mcmc_jl_tpu.core.task import MCMCTask
+    from mcmc_jl_tpu.parallel.pchains import _fused_eligible
+
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    r = mc.SerialMC(steps=800, burnin=200)
+    s = mc.HMC(4, 0.2, integrator="2stage")
+    assert _fused_eligible(MCMCTask(m, s, r))
+
+    task = m * s * r
+    chains_fused = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    mu_f = np.mean([c.samples.values.mean(0) for c in chains_fused], axis=0)
+    mu_g = np.mean([c.samples.values.mean(0) for c in chains_gen], axis=0)
+    se = np.sqrt(np.mean([mc.var(c) for c in chains_gen], axis=0) / 8)
+    assert np.all(np.abs(mu_f - mu_g) < 6 * se + 0.05), (mu_f, mu_g)

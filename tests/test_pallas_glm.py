@@ -236,3 +236,50 @@ def test_custom_link_exponential_survival():
                                  eps=0.04, seed=0, interpret=True, kind=custom)
     assert np.mean(np.asarray(infos["accept"])) > 0.5
     np.testing.assert_allclose(np.asarray(theta_s).mean(0), beta, atol=0.35)
+
+
+@pytest.mark.parametrize("integ", ["2stage", "3stage"])
+def test_kernel_multistage_matches_generic_integrator(integ):
+    """The kernel's trace-time 2/3-stage bodies must match the generic
+    samplers/integrators.py schemes bit-for-bit (same f32 math)."""
+    import types
+
+    from mcmc_jl_tpu.samplers.integrators import get_integrator
+
+    X, Y = _data()
+    C, d = 8, X.shape[1]
+    rng = np.random.default_rng(3)
+    theta = jnp.asarray(rng.standard_normal((C, d)) * 0.1, jnp.float32)
+    m = jnp.asarray(rng.standard_normal((C, d)), jnp.float32)
+
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def evalallg(th):  # batched over chains, matching the kernel layout
+        logits = th @ Xj.T
+        p = jax.nn.sigmoid(logits)
+        g = (Yj - p) @ Xj - th
+        lp = (logits @ Yj - jnp.sum(jax.nn.softplus(logits), axis=1)
+              - 0.5 * jnp.sum(th * th, axis=1))
+        return lp, g
+
+    mod = types.SimpleNamespace(evalallg=evalallg)
+    step_fn, _ = get_integrator(integ)
+    lp, g = evalallg(theta)
+    tg, mg = theta, m
+    eps, n_leaps = jnp.float32(0.1), 5
+    for _ in range(n_leaps):
+        tg, lp, g, mg = step_fn(mod, tg, mg, g, eps)
+
+    XT, Y2, d_pad = pad_design(X, Y)
+    _, g0 = evalallg(theta)
+    tk, mk, gk, lpk = glm_hmc_leapfrogs(
+        XT, Y2, pad_chains(theta, d_pad), pad_chains(m, d_pad),
+        pad_chains(g0, d_pad), eps, n_leaps=n_leaps, block_chains=8,
+        interpret=True, integrator=integ,
+    )
+    np.testing.assert_allclose(np.asarray(tk[:, :d]), np.asarray(tg),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mk[:, :d]), np.asarray(mg),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lpk), np.asarray(lp),
+                               rtol=2e-5, atol=2e-4)

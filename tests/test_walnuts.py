@@ -107,3 +107,23 @@ def test_walnuts_resume_exact():
     c2 = mc.resume(c1, steps=200)
     assert c2.samples.values.shape[0] == 200
     assert np.all(np.isfinite(c2.samples.values))
+
+
+def test_walnuts_mass_adapt_and_irreversible_diag():
+    """WALNUTS composes with the mass-warmup reparam; irreversible subtree
+    rejections are reported separately from energy divergences."""
+    rho = 0.9
+    C = np.array([[1.0, rho], [rho, 1.0]]) * np.array([[1.0, 10.0],
+                                                       [10.0, 100.0]])
+    P = jnp.asarray(np.linalg.inv(C))
+    m = mc.model(lambda v: -0.5 * v @ P @ v, gradient=True,
+                 init=jnp.ones(2), check_init=False)
+    c = mc.run(m, mc.WALNUTS(mass_adapt="diag", multinomial=True),
+               mc.SerialMC(steps=5000, burnin=2000), seed=2)
+    x = c.samples.values
+    assert "irreversible" in c.diagnostics
+    irr = np.asarray(c.diagnostics["irreversible"])
+    dv = np.asarray(c.diagnostics["diverging"])
+    assert irr.mean() <= dv.mean() + 1e-12  # irr is a subset of diverging
+    v = x.var(axis=0, ddof=1)
+    assert np.all(np.abs(v / np.diag(C) - 1.0) < 0.35), v
