@@ -30,7 +30,7 @@ import numpy as np
 LANE = 128
 
 
-from ..samplers.integrators import _A3 as A3STAGE, _B2 as B2STAGE, _B3 as B3STAGE
+from ..samplers.integrators import SCHEDULES
 
 
 def _round_up(x, m):
@@ -147,43 +147,21 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
         )
         return lp, g
 
-    # trace-time integrator selection (samplers/integrators.py family):
-    # per macro step, leapfrog costs 1 grad matmul pair, 2stage 2, 3stage 3
-    if integrator == "leapfrog":
-        def body(_, carry):
-            theta, m, g = carry
-            m = m + 0.5 * eps * g
-            theta = theta + eps * m
-            g = grad_only(theta)
-            m = m + 0.5 * eps * g
-            return theta, m, g
-    elif integrator == "2stage":
-        def body(_, carry, b=B2STAGE):
-            theta, m, g = carry
-            m = m + b * eps * g
-            theta = theta + 0.5 * eps * m
-            g = grad_only(theta)
-            m = m + (1.0 - 2.0 * b) * eps * g
-            theta = theta + 0.5 * eps * m
-            g = grad_only(theta)
-            m = m + b * eps * g
-            return theta, m, g
-    elif integrator == "3stage":
-        def body(_, carry, a=A3STAGE, b=B3STAGE):
-            theta, m, g = carry
-            m = m + b * eps * g
-            theta = theta + a * eps * m
-            g = grad_only(theta)
-            m = m + (0.5 - b) * eps * g
-            theta = theta + (1.0 - 2.0 * a) * eps * m
-            g = grad_only(theta)
-            m = m + (0.5 - b) * eps * g
-            theta = theta + a * eps * m
-            g = grad_only(theta)
-            m = m + b * eps * g
-            return theta, m, g
-    else:
-        raise ValueError(f"unknown integrator {integrator!r}")
+    # trace-time integrator body generated from the shared kick/drift
+    # schedule (samplers/integrators.py SCHEDULES — the single source of
+    # truth for the scheme coefficients): per macro step, leapfrog costs 1
+    # grad matmul pair, 2stage 2, 3stage 3
+    schedule = SCHEDULES[integrator]
+
+    def body(_, carry):
+        theta, m, g = carry
+        for op, c in schedule:
+            if op == "B":
+                m = m + c * eps * g
+            else:
+                theta = theta + c * eps * m
+                g = grad_only(theta)
+        return theta, m, g
 
     theta, m, g = jax.lax.fori_loop(
         0, n_leaps, body, (theta_ref[:], m_ref[:], grad_ref[:])

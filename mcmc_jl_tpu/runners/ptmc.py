@@ -183,50 +183,49 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
 
     ctx = RunCtx(burnin=runner.burnin)
 
-    if W == 1:
-        states = init_ladder(k_init)
-        final_states, ys = _ptmc_scan(
-            model, sampler, ctx, states, k_run,
+    # one code path for any W: a vmapped (W, K) batch (W == 1 unwraps below)
+    states = jax.vmap(init_ladder)(jax.random.split(k_init, W))
+    if mesh is not None:
+        # shard the walker axis; XLA propagates through the vmapped scan
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape["chains"]
+        assert W % n_dev == 0, (
+            f"PTMC walkers ({W}) must divide the mesh 'chains' axis "
+            f"({n_dev}) to shard — a mesh with walkers=1 would be a silent "
+            f"no-op"
+        )
+        states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(mesh, P(*(("chains",) + (None,) * (x.ndim - 1)))),
+            ),
+            states,
+        )
+    final_states, ys = jax.vmap(
+        lambda st, k: _ptmc_scan(
+            model, sampler, ctx, st, k,
             steps=runner.steps, swap_period=runner.swap_period,
             betas=runner.betas,
         )
-    else:
-        states = jax.vmap(init_ladder)(jax.random.split(k_init, W))
-        if mesh is not None:
-            # shard the walker axis; XLA propagates through the vmapped scan
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            states = jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    x,
-                    NamedSharding(mesh, P(*(("chains",) + (None,) * (x.ndim - 1)))),
-                ),
-                states,
-            )
-        final_states, ys = jax.vmap(
-            lambda st, k: _ptmc_scan(
-                model, sampler, ctx, st, k,
-                steps=runner.steps, swap_period=runner.swap_period,
-                betas=runner.betas,
-            )
-        )(states, jax.random.split(k_run, W))
+    )(states, jax.random.split(k_run, W))
 
     keep = slice(runner.burnin, None)
     cn = model.column_names()
+    # single bulk device->host transfer per key, then per-walker views
+    host = {k: np.asarray(v) for k, v in ys.items()
+            if k in ("ppars", "accept", "nswaps", "plogtarget")}
 
     def one_chain(w):
-        sel = (lambda a: a) if W == 1 else (lambda a: a[w])
-        samples = np.asarray(sel(ys["ppars"]))[keep]
-        fstate = (final_states if W == 1 else
-                  jax.tree_util.tree_map(lambda x: x[w], final_states))
+        fstate = jax.tree_util.tree_map(lambda x: x[w], final_states)
         return MCMCChain(
             range=range(runner.burnin + 1, runner.steps + 1),
-            samples=Table(samples, cn),
+            samples=Table(host["ppars"][w][keep], cn),
             gradients=Table(np.zeros((0, model.size)), cn),
             diagnostics={
-                "accept": np.asarray(sel(ys["accept"]))[keep],
-                "nswaps": np.asarray(sel(ys["nswaps"]))[keep],
-                "logtarget": np.asarray(sel(ys["plogtarget"]))[keep],
+                "accept": host["accept"][w][keep],
+                "nswaps": host["nswaps"][w][keep],
+                "logtarget": host["plogtarget"][w][keep],
             },
             task=MCMCTask(model, sampler, runner, state=fstate, key=key,
                           pos=runner.steps),

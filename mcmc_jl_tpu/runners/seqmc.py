@@ -34,11 +34,18 @@ class SeqMC:
     burnin: int = 0
     trigger: float = 1e-10
     ess_trigger: Optional[float] = None  # fraction of npart; alternative criterion
+    #: "multinomial" (reference parity, SeqMC.jl:79-86) | "systematic" |
+    #: "stratified" — the low-variance comb resamplers (SURVEY §2.4's
+    #: prescribed on-device scheme); all are O(N) one-shot device ops
+    resampling: str = "multinomial"
 
     def __post_init__(self):
         assert self.burnin >= 0, f"Burnin rounds ({self.burnin}) should be >= 0"
         assert self.steps > self.burnin, (
             f"Steps ({self.steps}) should be > to burnin ({self.burnin})"
+        )
+        assert self.resampling in ("multinomial", "systematic", "stratified"), (
+            f"unknown resampling {self.resampling!r}"
         )
 
     def __rmul__(self, other):
@@ -63,8 +70,13 @@ def _target_step(model, sampler, ctx, states, pars, logW, logtarget, key):
     return states, new_pars, logW, plogtarget
 
 
-def _resample(pars, logW, logtarget, key, trigger, ess_trigger):
-    """Multinomial resample when triggered (SeqMC.jl:76-88), on device."""
+def _resample(pars, logW, logtarget, key, trigger, ess_trigger,
+              method="multinomial"):
+    """Resample when triggered (SeqMC.jl:76-88), on device.
+
+    ``method``: "multinomial" (reference parity), or the low-variance comb
+    schemes "systematic" (one uniform offset) / "stratified" (one uniform
+    per stratum) via inverse-CDF search over the weight cumsum."""
     W = jnp.exp(logW)
     npart = W.shape[0]
     if ess_trigger is not None:
@@ -73,7 +85,18 @@ def _resample(pars, logW, logtarget, key, trigger, ess_trigger):
         do = ess < ess_trigger * npart
     else:
         do = jnp.var(W, ddof=1) < trigger
-    idx = jax.random.categorical(key, jnp.log(jnp.maximum(W, 1e-300)), shape=(npart,))
+    if method == "multinomial":
+        idx = jax.random.categorical(key, jnp.log(jnp.maximum(W, 1e-300)),
+                                     shape=(npart,))
+    else:
+        wn = W / jnp.sum(W)
+        cum = jnp.cumsum(wn)
+        if method == "systematic":
+            u = jax.random.uniform(key, (), dtype=wn.dtype)
+        else:  # stratified
+            u = jax.random.uniform(key, (npart,), dtype=wn.dtype)
+        pts = (jnp.arange(npart, dtype=wn.dtype) + u) / npart
+        idx = jnp.clip(jnp.searchsorted(cum, pts, side="left"), 0, npart - 1)
     return jax.tree_util.tree_map(
         lambda res, keep: jnp.where(do, res, keep),
         (pars[idx], jnp.zeros_like(logW), logtarget[idx]),
@@ -82,9 +105,9 @@ def _resample(pars, logW, logtarget, key, trigger, ess_trigger):
 
 
 @partial(jax.jit, static_argnames=("samplers", "ctxs", "steps", "trigger",
-                                   "ess_trigger"))
+                                   "ess_trigger", "resampling"))
 def _seqmc_scan(models, samplers, ctxs, states, pars, logW0, key, *, steps,
-                trigger, ess_trigger):
+                trigger, ess_trigger, resampling="multinomial"):
     npart = pars.shape[0]
     ntargets = len(samplers)
 
@@ -99,7 +122,8 @@ def _seqmc_scan(models, samplers, ctxs, states, pars, logW0, key, *, steps,
             )
             states = states[:ti] + (st,) + states[ti + 1:]
             pars, logW, logtarget = _resample(pars, logW, logtarget, k_res,
-                                              trigger, ess_trigger)
+                                              trigger, ess_trigger,
+                                              method=resampling)
         var_w = jnp.var(jnp.exp(logW), ddof=1)
         out = (pars, jnp.exp(logW), var_w)
         # reference-exact: the carried log-target resets to zero after every
@@ -183,6 +207,7 @@ def run_seqmc(targets, particles=None, seed: int = 0, verbose: bool = False):
         tuple(RunCtx(burnin=t.runner.burnin) for t in targets),
         tuple(states), pars, logW0, k_run,
         steps=steps, trigger=runner.trigger, ess_trigger=runner.ess_trigger,
+        resampling=runner.resampling,
     )
 
     all_pars = np.asarray(all_pars)  # (steps, npart, d)

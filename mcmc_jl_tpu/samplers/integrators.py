@@ -33,6 +33,44 @@ _B2 = 0.211781  # two-stage
 _A3 = 0.29619504261126  # three-stage
 _B3 = 0.11888010966548
 
+#: The single source of truth for every scheme: a palindromic sequence of
+#: momentum kicks ("B", c) and position drifts ("A", c), coefficients in
+#: units of eps.  Both the generic step functions below and the fused
+#: Pallas kernel bodies (ops/pallas_glm.py) are generated from these.
+SCHEDULES = {
+    "leapfrog": (("B", 0.5), ("A", 1.0), ("B", 0.5)),
+    "2stage": (("B", _B2), ("A", 0.5), ("B", 1.0 - 2.0 * _B2),
+               ("A", 0.5), ("B", _B2)),
+    "3stage": (("B", _B3), ("A", _A3), ("B", 0.5 - _B3),
+               ("A", 1.0 - 2.0 * _A3), ("B", 0.5 - _B3),
+               ("A", _A3), ("B", _B3)),
+}
+
+
+def _make_step(name):
+    schedule = SCHEDULES[name]
+    n_grads = sum(1 for op, _ in schedule if op == "A")
+
+    def step(model, pars, m, grad, eps):
+        lp, g = None, grad
+        for op, c in schedule:
+            if op == "B":
+                m = m + c * eps * g
+            else:
+                pars = pars + c * eps * m
+                lp, g = model.evalallg(pars)
+        return pars, lp, g, m
+
+    step.__name__ = name
+    step.__doc__ = (
+        f"{name} splitting scheme "
+        f"{' '.join(f'{op}({c:.6g})' for op, c in schedule)}; "
+        f"{n_grads} gradient evaluation(s) per step.  Leapfrog is the "
+        f"reference integrator (HMC.jl:93-102); 2/3-stage are the BCSS "
+        f"(2014) minimum-error schemes."
+    )
+    return step, n_grads
+
 
 def leapfrog(model, pars, m, grad, eps):
     """One leapfrog step (reference HMC.jl:93-102). Returns updated
@@ -44,38 +82,8 @@ def leapfrog(model, pars, m, grad, eps):
     return new_pars, lp, g, new_m
 
 
-def twostage(model, pars, m, grad, eps):
-    """BCSS minimum-error two-stage scheme: B(b) A(1/2) B(1-2b) A(1/2) B(b),
-    b = 0.211781.  Two gradient evaluations per step."""
-    b = _B2
-    m = m + b * eps * grad
-    pars = pars + 0.5 * eps * m
-    _, g = model.evalallg(pars)
-    m = m + (1.0 - 2.0 * b) * eps * g
-    pars = pars + 0.5 * eps * m
-    lp, g = model.evalallg(pars)
-    m = m + b * eps * g
-    return pars, lp, g, m
-
-
-def threestage(model, pars, m, grad, eps):
-    """BCSS minimum-error three-stage scheme:
-    B(b) A(a) B(1/2-b) A(1-2a) B(1/2-b) A(a) B(b),
-    a = 0.29619504261126, b = 0.11888010966548.  Three gradient
-    evaluations per step."""
-    a, b = _A3, _B3
-    m = m + b * eps * grad
-    pars = pars + a * eps * m
-    _, g = model.evalallg(pars)
-    m = m + (0.5 - b) * eps * g
-    pars = pars + (1.0 - 2.0 * a) * eps * m
-    _, g = model.evalallg(pars)
-    m = m + (0.5 - b) * eps * g
-    pars = pars + a * eps * m
-    lp, g = model.evalallg(pars)
-    m = m + b * eps * g
-    return pars, lp, g, m
-
+twostage, _ = _make_step("2stage")
+threestage, _ = _make_step("3stage")
 
 #: name -> (step_fn, gradient evaluations per step)
 INTEGRATORS = {

@@ -134,7 +134,8 @@ class WALNUTS(NUTS):
         # flipped endpoint?  (l' == sel_l retraces the same micro states and
         # passes by symmetry, so it needs no computation.) ------------------
         def rev_cond(c):
-            return (~c["coarser_ok"]) & (c["l"] < sel_l)
+            # tol_ok False already decided bad — don't pay for the check
+            return (~c["coarser_ok"]) & (c["l"] < sel_l) & tol_ok
 
         def rev_body(c):
             n = jnp.asarray(1, jnp.int32) << c["l"]

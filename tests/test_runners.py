@@ -261,3 +261,52 @@ def test_seqmc_resume_carries_sampler_states():
     assert np.all(np.isfinite(chain2.samples.values))
     # weights carried: resumed run did not silently reset to uniform
     assert "logW" in carry and carry["logW"].shape == (50,)
+
+
+def test_seqmc_systematic_and_stratified_resampling():
+    """SURVEY §2.4 TPU redesign: low-variance comb resamplers.  Both must
+    reproduce the bimodal |x| target; the unit-level check verifies the
+    comb hits expected counts (within 1) for a fixed weight vector."""
+    import jax
+    from mcmc_jl_tpu.runners.seqmc import _resample
+
+    # unit: weights [.5,.25,.125,.125] with systematic comb -> counts
+    # within 1 of N*w (the defining low-variance property)
+    logW = jnp.log(jnp.asarray([0.5, 0.25, 0.125, 0.125])) + jnp.log(4.0)
+    pars = jnp.arange(4.0)[:, None]
+    lt = jnp.zeros(4)
+    for method in ("systematic", "stratified"):
+        counts = np.zeros(4)
+        for s in range(64):
+            p2, w2, _ = _resample(pars, logW, lt, jax.random.PRNGKey(s),
+                                  trigger=np.inf, ess_trigger=None,
+                                  method=method)
+            assert np.all(np.asarray(w2) == 0.0)  # weights reset
+            for v in np.asarray(p2)[:, 0]:
+                counts[int(v)] += 1
+        frac = counts / counts.sum()
+        np.testing.assert_allclose(frac, [0.5, 0.25, 0.125, 0.125],
+                                   atol=0.25 / 4 + 0.02)
+
+    # end-to-end: same workload as the README example, systematic resampling
+    nmod = 6
+    sts = np.logspace(1, -1, nmod)
+    mods = []
+    for st in sts:
+        def ex(x, _st=st):
+            mc.tilde(jnp.abs(x), mc.Normal(1.0, _st))
+
+        mods.append(mc.model(ex, x=0.0))
+    targets = [
+        mods[i] * mc.RWM(float(sts[i]))
+        * mc.SeqMC(steps=10, burnin=0, ess_trigger=0.5,
+                   resampling="systematic")
+        for i in range(nmod)
+    ]
+    rng = np.random.default_rng(0)
+    chain = mc.run(targets, particles=rng.standard_normal((300, 1)))
+    w = chain.diagnostics["weigths"]
+    xs = chain.samples["x"]
+    wn = w / w.sum()
+    est = np.abs(np.sum(wn * np.abs(xs)))
+    assert 0.5 < est < 1.5, est
