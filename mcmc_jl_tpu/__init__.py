@@ -26,8 +26,8 @@ from .models.distributions import (
 from .core.task import MCMCTask
 from .core.chain import MCMCChain
 from .samplers import (
-    RWM, IMH, RAM, MALA, HMC, HMCDA, NUTS, WALNUTS, SMMALA, PMALA, RMHMC, ERMLMC,
-    RMLMC, EmpMCTuner, slice_sample,
+    RWM, IMH, RAM, MALA, HMC, HMCDA, NUTS, WALNUTS, ChEESHMC, SMMALA, PMALA,
+    RMHMC, ERMLMC, RMLMC, EmpMCTuner, slice_sample,
 )
 from .runners.serialmc import SerialMC
 from .runners.seqmc import SeqMC
@@ -52,8 +52,8 @@ __all__ = [
     "Binomial", "Beta", "Laplace", "Bernoulli", "TDist", "Exponential",
     "Poisson", "MvNormal",
     "MCMCTask", "MCMCChain",
-    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS", "SMMALA", "PMALA",
-    "RMHMC", "ERMLMC", "RMLMC", "EmpMCTuner", "slice_sample",
+    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
+    "SMMALA", "PMALA", "RMHMC", "ERMLMC", "RMLMC", "EmpMCTuner", "slice_sample",
     "SerialMC", "SeqMC", "SerialTempMC", "PTMC",
     "run", "resume", "prun",
     "mean", "mean_rb", "mcvar", "mcse", "var", "std", "ess", "actime",

@@ -65,11 +65,18 @@ def _scan_chains(model, sampler, ctx, states, key, nsteps, thinning=1,
 
     n_chains = jax.tree_util.tree_leaves(states)[0].shape[0]
 
+    # cross-chain adaptation hook: samplers that adapt from pooled batch
+    # statistics (e.g. ChEESHMC) expose `pool(ctx, states, info)`; called
+    # unconditionally — it IS the sampler's adaptation, not an option
+    pool_fn = getattr(sampler, "pool", None)
+
     def one_step(states, k):
         ks = jax.random.split(k, n_chains)
         states, info = jax.vmap(lambda s, kk: sampler.step(model, ctx, s, kk))(
             states, ks
         )
+        if pool_fn is not None:
+            states = pool_fn(ctx, states, info)
         if pool_adaptation:
             states = pool_tuner_states(states)
         return states, info

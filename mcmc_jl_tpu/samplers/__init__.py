@@ -13,6 +13,7 @@ from .hmc import HMC
 from .hmcda import HMCDA
 from .nuts import NUTS
 from .walnuts import WALNUTS
+from .chees import ChEESHMC
 from .smmala import SMMALA
 from .pmala import PMALA
 from .rmhmc import RMHMC
@@ -21,6 +22,6 @@ from .slice import slice_sample
 
 __all__ = [
     "Sampler", "RunCtx", "EmpMCTuner",
-    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS",
+    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
     "SMMALA", "PMALA", "RMHMC", "ERMLMC", "RMLMC", "slice_sample",
 ]
