@@ -76,9 +76,10 @@ def test_chees_single_chain_fallback():
 
 
 def test_chees_beats_fixed_hmc_on_wide_scales():
-    """Correlated/ill-scaled Gaussian: adapted trajectory lengths should give
-    a min-coordinate ESS at least comparable to a deliberately short fixed
-    HMC at the same step size."""
+    """Ill-scaled Gaussian: the cost-normalized criterion (ascend
+    log ChEES - log T) optimizes effective samples per gradient; ChEES must
+    beat a fixed mistuned HMC at the same step scale by a wide margin there,
+    without giving up raw min-coordinate ESS."""
     sds = np.array([8.0, 1.0])
     prec = jnp.asarray(1.0 / sds**2)
     m = mc.model(lambda v: -0.5 * jnp.sum(prec * v * v), gradient=True,
@@ -89,9 +90,17 @@ def test_chees_beats_fixed_hmc_on_wide_scales():
     np.testing.assert_allclose(x.std(axis=0, ddof=1), sds, rtol=0.2)
 
     ess_chees = np.mean([np.min(mc.ess(c)) for c in chains])
+    grads_chees = np.mean(
+        [np.sum(np.asarray(c.diagnostics["nleaps"])) for c in chains])
     fixed = mc.run(m * mc.HMC(3, 0.5) * r, chains=8, seed=3)
     ess_fixed = np.mean([np.min(mc.ess(c)) for c in fixed])
-    assert ess_chees > 1.5 * ess_fixed, (ess_fixed, ess_chees)
+    grads_fixed = 3.0 * r.len
+    # measured ~12 vs ~2 ESS/kgrad (stable across seeds); gate at 3x
+    eff_chees = ess_chees / grads_chees
+    eff_fixed = ess_fixed / grads_fixed
+    assert eff_chees > 3.0 * eff_fixed, (eff_fixed, eff_chees)
+    # and not at the price of raw per-step quality
+    assert ess_chees > 0.8 * ess_fixed, (ess_fixed, ess_chees)
 
 
 def test_halton_sequence_properties():
