@@ -62,6 +62,16 @@ def _combine(models, samplers, runners):
 def product(model_or_models, sampler_or_samplers):
     """Build the intermediate model*sampler product (handles arrays on
     either side, covering the reference's 8 ``*`` overloads)."""
+    s = sampler_or_samplers
+    if not isinstance(s, (list, tuple)) and getattr(
+        s, "_samplerless_runner", False
+    ):
+        # model * AIES(...): runners whose move IS the sampler complete the
+        # task directly (no sampler slot)
+        m = model_or_models
+        if isinstance(m, (list, tuple)):
+            return [MCMCTask(mi, None, s) for mi in m]
+        return MCMCTask(m, None, s)
     models = (
         list(model_or_models)
         if isinstance(model_or_models, (list, tuple))

@@ -68,6 +68,10 @@ def run(x, *rest, seed: int = 0, chains: Optional[int] = None, **kwargs):
 
     if isinstance(t.runner, PTMC):
         return run_ptmc(t.model, t.sampler, t.runner, seed=seed, **kwargs)
+    from .aies import AIES, run_aies
+
+    if isinstance(t.runner, AIES):
+        return run_aies(t.model, t.runner, seed=seed, **kwargs)
     raise TypeError(f"unknown runner type {type(t.runner).__name__}")
 
 
