@@ -36,6 +36,9 @@ import jax.numpy as jnp
 from .base import RunCtx, Sampler, metropolis_accept, pytree_dataclass
 from .hmcda import find_reasonable_step
 from .integrators import get_integrator, hamiltonian
+from .massadapt import (
+    MassAccum, mass_init, mass_kind, mass_update, mass_vector_scale,
+)
 
 
 def halton2(i):
@@ -61,6 +64,10 @@ class ChEESState:
     adam_m: jnp.ndarray           # Adam first moment for log_len
     adam_v: jnp.ndarray           # Adam second moment for log_len
     i: jnp.ndarray
+    # diagonal mass-matrix warmup accumulator (massadapt.py); ChEES measures
+    # jump distances in theta-space, which stays valid under the folded
+    # per-coordinate preconditioning (velocity rescaled accordingly)
+    mass: MassAccum
     # per-step stash read by the cross-chain pool hook (carried, not stacked)
     p_prev: jnp.ndarray           # q   (position before the step)
     p_prop: jnp.ndarray           # q'  (trajectory endpoint, pre-MH)
@@ -90,6 +97,10 @@ class ChEESHMC(Sampler):
     t0: float = 10.0
     step_pow: float = 0.75        # kappa
     integrator: str = "leapfrog"  # "leapfrog" | "2stage" | "3stage"
+    #: False | True/"diag" (continuous Welford) | "diag-win" (Stan windows);
+    #: the dense metric is not offered here (the criterion would need the
+    #: standardized-coordinate transform of hmc.py's dense path)
+    mass_adapt: object = False
 
     needs_gradient = True
 
@@ -98,6 +109,13 @@ class ChEESHMC(Sampler):
         assert self.len0 > 0, "len0 must be positive"
         assert self.max_leaps > 0, "max_leaps must be positive"
         get_integrator(self.integrator)  # validate early
+        if mass_kind(self.mass_adapt) == "dense":
+            raise ValueError("ChEESHMC supports mass_adapt False/'diag'/"
+                             "'diag-win' (dense not offered)")
+
+    @property
+    def _kind(self):
+        return mass_kind(self.mass_adapt)
 
     # -- protocol ----------------------------------------------------------
     def init(self, model, theta0, key):
@@ -114,6 +132,7 @@ class ChEESHMC(Sampler):
             log_len=jnp.log(f(self.len0)),
             adam_m=f(0.0), adam_v=f(0.0),
             i=jnp.asarray(1, dtype=jnp.int32),
+            mass=mass_init(self._kind, theta0.shape[0], theta0.dtype),
             p_prev=theta0, p_prop=theta0, p_vel=jnp.zeros_like(theta0),
             p_alpha=f(0.0), p_time=f(0.0),
         )
@@ -133,13 +152,23 @@ class ChEESHMC(Sampler):
         t_target = u * T
         nl = jnp.clip(jnp.ceil(t_target / eps), 1, self.max_leaps).astype(jnp.int32)
 
+        kind = self._kind
+        if kind is not None:
+            # per-coordinate preconditioning folded into the integrator
+            # (vector step = eps * scale); T keeps counting scalar-eps time
+            svec = mass_vector_scale(kind, state.mass, dtype)
+            eps_step = eps * svec
+        else:
+            svec = None
+            eps_step = eps
+
         m0 = jax.random.normal(k_mom, state.pars.shape, dtype=dtype)
         H0 = hamiltonian(state.logtarget, m0)
         step_fn, _ = get_integrator(self.integrator)
 
         def body(j, carry):
             pars, lp, g, m = carry
-            return step_fn(model, pars, m, g, eps)
+            return step_fn(model, pars, m, g, eps_step)
 
         pars, lp, g, m = jax.lax.fori_loop(
             0, nl, body, (state.pars, state.logtarget, state.grad, m0)
