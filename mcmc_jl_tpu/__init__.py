@@ -26,7 +26,7 @@ from .models.distributions import (
 from .core.task import MCMCTask
 from .core.chain import MCMCChain
 from .samplers import (
-    RWM, IMH, RAM, MALA, HMC, HMCDA, NUTS, WALNUTS, ChEESHMC, SMMALA, PMALA,
+    RWM, IMH, RAM, MALA, Barker, HMC, HMCDA, NUTS, WALNUTS, ChEESHMC, SMMALA, PMALA,
     RMHMC, ERMLMC, RMLMC, EmpMCTuner, slice_sample,
 )
 from .runners.serialmc import SerialMC
@@ -38,7 +38,7 @@ from .runners.api import run, resume, prun
 from .stats import (
     mean, mean_rb, mcvar, mcse, var, std, ess, actime, acceptance, describe,
     wsample, linear_zv, quadratic_zv, linearZv, quadraticZv,
-    rhat, ess_pooled, summarize_chains, mcmc_quantile,
+    rhat, ess_pooled, summarize_chains, mcmc_quantile, logz_ti, logz_ss,
 )
 
 # legacy alias matching the reference's MCMCLikModel typealias (likmodel.jl:69)
@@ -53,11 +53,12 @@ __all__ = [
     "Binomial", "Beta", "Laplace", "Bernoulli", "TDist", "Exponential",
     "Poisson", "MvNormal",
     "MCMCTask", "MCMCChain",
-    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
+    "RWM", "IMH", "RAM", "MALA", "Barker", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
     "SMMALA", "PMALA", "RMHMC", "ERMLMC", "RMLMC", "EmpMCTuner", "slice_sample",
     "SerialMC", "SeqMC", "SerialTempMC", "PTMC", "AIES",
     "run", "resume", "prun",
     "mean", "mean_rb", "mcvar", "mcse", "var", "std", "ess", "actime",
     "acceptance", "describe", "wsample", "linear_zv", "quadratic_zv", "linearZv",
     "quadraticZv", "rhat", "ess_pooled", "summarize_chains", "mcmc_quantile",
+    "logz_ti", "logz_ss",
 ]

@@ -12,6 +12,14 @@ Works with any sampler that uses ``model.eval`` / ``model.evalallg`` /
 ``model.scale`` (RWM, IMH, RAM, MALA, HMC, HMCDA, NUTS); the chain returned
 is the cold rung (beta = 1, last ladder entry), with swap-acceptance
 diagnostics.
+
+With ``logprior=`` the ladder tempers only the likelihood part
+(``logp_b = logprior + b*(logp - logprior)`` — Friel & Pettitt power
+posteriors), which makes ``beta=0`` a proper target (the prior) and turns
+the per-rung log-likelihood draws (``diagnostics["replica_ll"]``) into the
+inputs of the marginal-likelihood estimators in ``stats/evidence.py``
+(thermodynamic integration / stepping-stone) — capability absent from the
+reference.
 """
 from __future__ import annotations
 
@@ -46,6 +54,12 @@ class PTMC:
     #: vectorized tempering of SURVEY §2.4 / ROADMAP item 5; returns a list
     #: of cold-rung chains when > 1
     walkers: int = 1
+    #: normalized log prior density theta -> logpi(theta).  When given, the
+    #: ladder runs power posteriors ``logprior + beta*loglik`` (the prior is
+    #: never tempered), beta=0 is allowed (it targets the prior), and
+    #: ``diagnostics["replica_ll"]`` holds per-rung log-likelihood draws for
+    #: stats.evidence.logz_ti / logz_ss.
+    logprior: object = None
 
     def __post_init__(self):
         assert self.burnin >= 0
@@ -53,11 +67,18 @@ class PTMC:
         assert self.swap_period >= 1
         assert self.walkers >= 1
         b = tuple(self.betas)
-        assert len(b) >= 2 and all(x > 0 for x in b), "betas must be positive"
+        assert len(b) >= 2 and all(x >= 0 for x in b), (
+            "betas must be non-negative"
+        )
         assert all(b[i] < b[i + 1] for i in range(len(b) - 1)), (
             "betas must be ascending"
         )
         assert abs(b[-1] - 1.0) < 1e-12, "last beta must be 1.0 (the target)"
+        if b[0] == 0.0:
+            assert self.logprior is not None, (
+                "beta=0 targets the bare prior: it is only proper with "
+                "prior tempering (pass logprior=)"
+            )
         object.__setattr__(self, "betas", b)
 
     def __rmul__(self, other):
@@ -66,14 +87,29 @@ class PTMC:
         return product(other, self)
 
 
-def _tempered_view(model, beta):
-    """A per-replica model view: logp and gradient scaled by beta."""
-    def eval_(th):
-        return beta * model.eval(th)
+def _tempered_view(model, beta, logprior=None):
+    """A per-replica model view.
 
-    def evalallg(th):
-        lp, g = model.evalallg(th)
-        return beta * lp, beta * g
+    Plain tempering: ``beta * logp``.  Prior tempering (``logprior`` given):
+    the power posterior ``logprior + beta * (logp - logprior)`` — only the
+    likelihood part is tempered, so beta=0 is the (proper) prior."""
+    if logprior is None:
+        def eval_(th):
+            return beta * model.eval(th)
+
+        def evalallg(th):
+            lp, g = model.evalallg(th)
+            return beta * lp, beta * g
+    else:
+        gprior = jax.grad(logprior)
+
+        def eval_(th):
+            return logprior(th) + beta * (model.eval(th) - logprior(th))
+
+        def evalallg(th):
+            lp, g = model.evalallg(th)
+            pl, gp = logprior(th), gprior(th)
+            return pl + beta * (lp - pl), gp + beta * (g - gp)
 
     return types.SimpleNamespace(
         eval=eval_,
@@ -84,44 +120,78 @@ def _tempered_view(model, beta):
 
 
 @partial(jax.jit, static_argnames=("sampler", "ctx", "steps", "swap_period",
-                                   "betas"))
-def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas):
+                                   "betas", "logprior"))
+def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas,
+               logprior=None):
     K = len(betas)
     betas_v = jnp.asarray(betas, dtype=model.init.dtype)
+    # beta=0 only occurs with prior tempering (PTMC.__post_init__); the
+    # divide below is masked for that rung and its ll recomputed fresh
+    beta_safe = jnp.where(betas_v > 0, betas_v, 1.0)
+    has_b0 = logprior is not None and betas[0] == 0.0
+    has_grad = hasattr(states, "grad")
+    gprior = None if logprior is None else jax.grad(logprior)
 
     def step_one(state, k, beta):
-        return sampler.step(_tempered_view(model, beta), ctx, state, k)
+        return sampler.step(_tempered_view(model, beta, logprior), ctx,
+                            state, k)
 
-    def swap(states, k, parity):
+    def untempered(states):
+        """Per-rung (prior logp, tempered-part draws, tempered-part grads):
+        plain tempering -> (0, logp, grad); prior tempering -> the
+        log-likelihood and its gradient (Friel-Pettitt power posterior)."""
+        lp_t = states.logtarget
+        if logprior is None:
+            pri = jnp.zeros_like(lp_t)
+            gpri = None
+        else:
+            pri = jax.vmap(logprior)(states.pars)
+            gpri = jax.vmap(gprior)(states.pars) if has_grad else None
+        ll = (lp_t - pri) / beta_safe
+        gll = None
+        if has_grad:
+            gpri_a = 0.0 if gpri is None else gpri
+            gll = (states.grad - gpri_a) / beta_safe[:, None]
+        if has_b0:
+            # the beta=0 rung's cached logtarget is the prior alone: its
+            # likelihood part must be evaluated fresh (one extra eval/step)
+            if has_grad:
+                lp0, g0 = model.evalallg(states.pars[0])
+                gll = gll.at[0].set(g0 - gpri[0])
+            else:
+                lp0 = model.eval(states.pars[0])
+            ll = ll.at[0].set(lp0 - pri[0])
+        return pri, gpri, ll, gll
+
+    def swap(states, k, parity, pri, gpri, ll, gll):
         """Even/odd neighbor exchange as a batched permutation."""
-        lp_t = states.logtarget  # tempered logp per replica (K,)
-        lp_u = lp_t / betas_v  # untempered
         idx = jnp.arange(K)
         is_left = (idx % 2) == parity
         partner = jnp.where(is_left, idx + 1, idx - 1)
         valid = (partner >= 0) & (partner < K)
         partner = jnp.clip(partner, 0, K - 1)
 
-        lp_self = lp_u
-        lp_part = lp_u[partner]
-        # accept prob for the PAIR: (b_i - b_j)(lp_j - lp_i); computed
+        # accept prob for the PAIR: (b_i - b_j)(ll_j - ll_i); computed
         # symmetrically so both members decide identically
         b_self = betas_v
         b_part = betas_v[partner]
-        ratio = (b_self - b_part) * (lp_part - lp_self)
-        u = jax.random.uniform(k, (K,), dtype=lp_u.dtype)
+        ratio = (b_self - b_part) * (ll[partner] - ll)
+        u = jax.random.uniform(k, (K,), dtype=ll.dtype)
         # one uniform per pair: take the left member's draw
         pair_u = jnp.where(is_left, u, u[partner])
         acc = valid & (jnp.log(pair_u) < ratio)
 
         src = jnp.where(acc, partner, idx)
-        # exchange positions + rescale cached tempered quantities
+        # exchange positions + rebuild cached tempered quantities at own beta
         new_pars = states.pars[src]
-        new_lp = lp_u[src] * betas_v
+        new_ll = ll[src]
+        new_lp = pri[src] + betas_v * new_ll
         new_states = states.replace(pars=new_pars, logtarget=new_lp)
-        if hasattr(states, "grad"):
-            grad_u = states.grad / betas_v[:, None]
-            new_states = new_states.replace(grad=grad_u[src] * betas_v[:, None])
+        if has_grad:
+            gpri_a = 0.0 if gpri is None else gpri[src]
+            new_states = new_states.replace(
+                grad=gpri_a + betas_v[:, None] * gll[src]
+            )
         if hasattr(states, "logcandidate"):
             # IMH caches log q(pars); q is temperature-independent, so the
             # cache swaps with the position (else the next IMH accept ratio
@@ -130,7 +200,7 @@ def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas):
                 logcandidate=states.logcandidate[src]
             )
         swap_rate = jnp.sum(jnp.where(valid & acc, 1, 0)) / 2.0
-        return new_states, swap_rate
+        return new_states, new_ll, swap_rate
 
     def one_step(carry, inp):
         states, = carry
@@ -139,11 +209,15 @@ def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas):
         ks = jax.random.split(k_step, K)
         states, infos = jax.vmap(step_one)(states, ks, betas_v)
 
+        pri, gpri, ll, gll = untempered(states)
         do_swap = (i % swap_period) == 0
-        states2, nswaps = swap(states, k_swap, parity=(i // swap_period) % 2)
+        states2, ll2, nswaps = swap(states, k_swap,
+                                    parity=(i // swap_period) % 2,
+                                    pri=pri, gpri=gpri, ll=ll, gll=gll)
         states = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do_swap, b, a), states, states2
         )
+        ll = jnp.where(do_swap, ll2, ll)
         nswaps = jnp.where(do_swap, nswaps, 0.0)
 
         out = {
@@ -151,7 +225,9 @@ def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas):
             "plogtarget": states.logtarget[-1],
             "accept": infos["accept"][-1] if "accept" in infos else True,
             "nswaps": nswaps,
-            "replica_lp": states.logtarget / betas_v,
+            # per-rung untempered logp (plain) / log-likelihood (prior
+            # tempering) — the evidence-estimator inputs (stats/evidence.py)
+            "replica_ll": ll,
         }
         return (states,), out
 
@@ -178,7 +254,9 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
 
     def init_ladder(k):
         return jax.vmap(
-            lambda b, kk: sampler.init(_tempered_view(model, b), model.init, kk)
+            lambda b, kk: sampler.init(
+                _tempered_view(model, b, runner.logprior), model.init, kk
+            )
         )(betas_arr, jax.random.split(k, K))
 
     ctx = RunCtx(burnin=runner.burnin)
@@ -206,7 +284,7 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
         lambda st, k: _ptmc_scan(
             model, sampler, ctx, st, k,
             steps=runner.steps, swap_period=runner.swap_period,
-            betas=runner.betas,
+            betas=runner.betas, logprior=runner.logprior,
         )
     )(states, jax.random.split(k_run, W))
 
@@ -214,7 +292,7 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
     cn = model.column_names()
     # single bulk device->host transfer per key, then per-walker views
     host = {k: np.asarray(v) for k, v in ys.items()
-            if k in ("ppars", "accept", "nswaps", "plogtarget")}
+            if k in ("ppars", "accept", "nswaps", "plogtarget", "replica_ll")}
 
     def one_chain(w):
         fstate = jax.tree_util.tree_map(lambda x: x[w], final_states)
@@ -226,6 +304,11 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
                 "accept": host["accept"][w][keep],
                 "nswaps": host["nswaps"][w][keep],
                 "logtarget": host["plogtarget"][w][keep],
+                # (steps, K) per-rung log-likelihood (prior tempering) /
+                # untempered logp (plain); burn-in rows kept so evidence
+                # estimators can choose their own discard
+                "replica_ll": host["replica_ll"][w],
+                "betas": np.asarray(runner.betas),
             },
             task=MCMCTask(model, sampler, runner, state=fstate, key=key,
                           pos=runner.steps),

@@ -9,6 +9,7 @@ from .rwm import RWM
 from .imh import IMH
 from .ram import RAM
 from .mala import MALA
+from .barker import Barker
 from .hmc import HMC
 from .hmcda import HMCDA
 from .nuts import NUTS
@@ -22,6 +23,6 @@ from .slice import slice_sample
 
 __all__ = [
     "Sampler", "RunCtx", "EmpMCTuner",
-    "RWM", "IMH", "RAM", "MALA", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
+    "RWM", "IMH", "RAM", "MALA", "Barker", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
     "SMMALA", "PMALA", "RMHMC", "ERMLMC", "RMLMC", "slice_sample",
 ]

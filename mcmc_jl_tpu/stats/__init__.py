@@ -6,6 +6,7 @@ from .summary import acceptance, describe, wsample
 from .quantile import mcmc_quantile
 from .zv import linear_zv, quadratic_zv, linearZv, quadraticZv
 from .multichain import rhat, ess_pooled, summarize_chains
+from .evidence import logz_ti, logz_ss
 
 __all__ = [
     "mean", "mean_rb", "mcvar", "mcse", "var", "std",
@@ -13,4 +14,5 @@ __all__ = [
     "ess", "actime", "acceptance", "describe", "wsample", "mcmc_quantile",
     "linear_zv", "quadratic_zv", "linearZv", "quadraticZv",
     "rhat", "ess_pooled", "summarize_chains",
+    "logz_ti", "logz_ss",
 ]

@@ -32,6 +32,8 @@ CASES = [
     ("RAM", mc.RAM(1.0, 0.3), 20000, 4000),
     ("MALA", mc.MALA(0.5), 16000, 3000),
     ("MALA+tuner", mc.MALA(0.1, mc.EmpMCTuner(0.574)), 16000, 3000),
+    ("Barker", mc.Barker(0.8), 16000, 3000),
+    ("Barker+tuner", mc.Barker(0.1, mc.EmpMCTuner(0.57)), 16000, 3000),
     ("HMC", mc.HMC(10, 0.4), 6000, 1000),
     ("HMC+tuner", mc.HMC(10, 0.1, mc.EmpMCTuner(0.8)), 6000, 1000),
     ("HMCDA", mc.HMCDA(len=2.0), 6000, 1000),
