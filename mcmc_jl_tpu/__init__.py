@@ -34,6 +34,7 @@ from .runners.seqmc import SeqMC
 from .runners.serialtempmc import SerialTempMC
 from .runners.ptmc import PTMC
 from .runners.aies import AIES
+from .runners.asmc import ASMC
 from .runners.api import run, resume, prun
 from .stats import (
     mean, mean_rb, mcvar, mcse, var, std, ess, actime, acceptance, describe,
@@ -55,7 +56,7 @@ __all__ = [
     "MCMCTask", "MCMCChain",
     "RWM", "IMH", "RAM", "MALA", "Barker", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
     "SMMALA", "PMALA", "RMHMC", "ERMLMC", "RMLMC", "EmpMCTuner", "slice_sample",
-    "SerialMC", "SeqMC", "SerialTempMC", "PTMC", "AIES",
+    "SerialMC", "SeqMC", "SerialTempMC", "PTMC", "AIES", "ASMC",
     "run", "resume", "prun",
     "mean", "mean_rb", "mcvar", "mcse", "var", "std", "ess", "actime",
     "acceptance", "describe", "wsample", "linear_zv", "quadratic_zv", "linearZv",

@@ -72,6 +72,10 @@ def run(x, *rest, seed: int = 0, chains: Optional[int] = None, **kwargs):
 
     if isinstance(t.runner, AIES):
         return run_aies(t.model, t.runner, seed=seed, **kwargs)
+    from .asmc import ASMC, run_asmc
+
+    if isinstance(t.runner, ASMC):
+        return run_asmc(t.model, t.sampler, t.runner, seed=seed, **kwargs)
     raise TypeError(f"unknown runner type {type(t.runner).__name__}")
 
 
