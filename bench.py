@@ -44,7 +44,10 @@ def _bench_tpu(X, Y):
 
     nbeta = X.shape[1]
     XT, Y2, d_pad = pad_design(X, Y)
-    C, steps, n_leaps, blk = 8192, 2000, 10, 1024
+    # 16384 chains x 1024-chain blocks measured fastest with VMEM headroom
+    # (sweep: 8192/1024 172.5M, 16384/1024 175.5M, 24576/1024 175.9M but
+    # near the 16M scoped-vmem limit, 16384/2048 + 32768/1024 OOM)
+    C, steps, n_leaps, blk = 16384, 2000, 10, 1024
 
     @partial(jax.jit, static_argnames=())
     def go(key):

@@ -158,3 +158,21 @@ def test_funnel_example():
                                 widths=5.0, seed=0)
     vs = np.asarray(xs)[1000:, 0]
     assert abs(vs.mean()) < 1.0 and vs.var() > 5.0, (vs.mean(), vs.var())
+
+
+def test_model_comparison_example():
+    """examples/model_comparison.py: the three logZ estimators agree with
+    the analytic conjugate evidence (scaled down for CI)."""
+    import model_comparison as mcmp
+    import jax
+
+    exact = mcmp.analytic_logz()
+    m1 = mc.model(mcmp.logp, gradient=True, init=jnp.zeros(1))
+    smc = mc.run(
+        m1 * mc.RWM(0.4) * mc.ASMC(particles=1024, moves=2,
+                                   logprior=mcmp.logprior,
+                                   prior_sample=lambda k:
+                                   jax.random.normal(k, (1,))),
+        seed=1,
+    )
+    assert abs(smc.diagnostics["logz"] - exact) < 0.4
