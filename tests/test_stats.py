@@ -260,3 +260,24 @@ def test_mean_rb_masks_adapted_trajectories():
     rb = mc.mean_rb(chain)
     # unbiased around the true zero mean
     assert np.all(np.abs(rb) < 0.15), rb
+
+
+def test_rank_normalized_rhat():
+    """Vehtari-2021 rank R-hat: ~1 when mixed; flags a variance-mismatched
+    chain that classic split-R-hat (location-only) waves through."""
+    rng = np.random.default_rng(0)
+    # well-mixed: 8 iid N(0,1) chains
+    good = rng.standard_normal((1000, 8, 2))
+    r_good = mc.rhat(good, method="rank")
+    assert r_good.shape == (2,) and np.all(r_good < 1.01), r_good
+
+    # same means, one chain with 5x the spread (classic B ~ 0 -> R-hat ~ 1)
+    bad = rng.standard_normal((1000, 8, 1))
+    bad[:, 0, :] *= 5.0
+    r_classic = mc.rhat(bad)
+    r_rank = mc.rhat(bad, method="rank")
+    assert r_classic[0] < 1.01, r_classic
+    assert r_rank[0] > 1.05, r_rank
+
+    rep = mc.summarize_chains(good[:, :, :1], param_names=["a"])
+    assert rep["a"]["rhat_rank"] < 1.01
