@@ -21,7 +21,7 @@ from .models.dsl import tilde, observe
 from .models import distributions
 from .models.distributions import (
     Normal, Uniform, Weibull, Gamma, Cauchy, LogNormal, Binomial, Beta,
-    Laplace, Bernoulli, TDist, Exponential, Poisson, MvNormal,
+    Laplace, Bernoulli, TDist, Exponential, Poisson, MvNormal, Truncated,
 )
 from .core.task import MCMCTask
 from .core.chain import MCMCChain
@@ -52,7 +52,7 @@ __all__ = [
     "distributions",
     "Normal", "Uniform", "Weibull", "Gamma", "Cauchy", "LogNormal",
     "Binomial", "Beta", "Laplace", "Bernoulli", "TDist", "Exponential",
-    "Poisson", "MvNormal",
+    "Poisson", "MvNormal", "Truncated",
     "MCMCTask", "MCMCChain",
     "RWM", "IMH", "RAM", "MALA", "Barker", "HMC", "HMCDA", "NUTS", "WALNUTS", "ChEESHMC",
     "SMMALA", "PMALA", "RMHMC", "ERMLMC", "RMLMC", "EmpMCTuner", "slice_sample",

@@ -120,6 +120,56 @@ class LeftCensored(Distribution):
         return self.base.logcdf(x)
 
 
+@distribution
+class Truncated(Distribution):
+    """``Truncated(D, lo, hi)``: D conditioned on ``lo <= x <= hi`` (either
+    bound may be None for one-sided truncation).  Beyond-reference (the
+    reference only has the censoring sugar above): the log-density is
+    renormalized by the log truncation mass, computed stably from
+    logcdf/logccdf, and x outside the bounds contributes ``-inf`` (the
+    package-wide out-of-support convention)."""
+
+    base: Distribution
+    lo: object = None
+    hi: object = None
+
+    def _log_mass(self):
+        if self.lo is None and self.hi is None:
+            return 0.0
+        if self.lo is None:
+            return self.base.logcdf(self.hi)
+        if self.hi is None:
+            return self.base.logccdf(self.lo)
+        la = self.base.logcdf(self.hi)
+        lb = self.base.logcdf(self.lo)
+        return la + jnp.log1p(-jnp.exp(lb - la))
+
+    def _in_bounds(self, x):
+        ok = jnp.full(jnp.shape(x), True)
+        if self.lo is not None:
+            ok = ok & (x >= self.lo)
+        if self.hi is not None:
+            ok = ok & (x <= self.hi)
+        return ok
+
+    def logpdf(self, x):
+        lp = self.base.logpdf(x) - self._log_mass()
+        return jnp.where(self._in_bounds(x), lp, -jnp.inf)
+
+    def logcdf(self, x):
+        num = self.base.logcdf(x)
+        if self.lo is not None:
+            lo_mass = self.base.logcdf(self.lo)
+            num = num + jnp.log1p(-jnp.exp(jnp.minimum(lo_mass - num, 0.0)))
+        out = jnp.minimum(num - self._log_mass(), 0.0)
+        below = jnp.full(jnp.shape(x), False) if self.lo is None else (x < self.lo)
+        above = jnp.full(jnp.shape(x), False) if self.hi is None else (x > self.hi)
+        return jnp.where(below, -jnp.inf, jnp.where(above, 0.0, out))
+
+    def logccdf(self, x):
+        return jnp.log1p(-jnp.exp(jnp.minimum(self.logcdf(x), 0.0)))
+
+
 # =========================================================================
 # Continuous distributions
 # =========================================================================
@@ -678,6 +728,6 @@ ALL_DISTRIBUTIONS = [
 ]
 
 __all__ = [d.__name__ for d in ALL_DISTRIBUTIONS] + [
-    "MvNormal", "Distribution", "RightCensored", "LeftCensored",
+    "MvNormal", "Distribution", "RightCensored", "LeftCensored", "Truncated",
     "logpdf", "logcdf", "logccdf",
 ]

@@ -172,3 +172,48 @@ def test_mvnormal_batched_logpdf():
     np.testing.assert_allclose(float(Dm.logpdf(jnp.asarray(X[0]))),
                                st.multivariate_normal(mu, cov).logpdf(X[0]),
                                rtol=1e-8)
+
+
+def test_truncated_matches_scipy():
+    """Truncated(D, lo, hi) logpdf/logcdf vs scipy.stats.truncnorm; -inf
+    outside bounds (package out-of-support convention)."""
+    from scipy.stats import truncnorm
+    import mcmc_jl_tpu as mc
+
+    mu, sd, lo, hi = 0.5, 2.0, -1.0, 3.0
+    d = mc.Truncated(mc.Normal(mu, sd), lo, hi)
+    ref = truncnorm((lo - mu) / sd, (hi - mu) / sd, loc=mu, scale=sd)
+    xs = np.linspace(-0.9, 2.9, 7)
+    np.testing.assert_allclose(np.asarray(d.logpdf(jnp.asarray(xs))),
+                               ref.logpdf(xs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d.logcdf(jnp.asarray(xs))),
+                               ref.logcdf(xs), rtol=1e-6)
+    assert d.logpdf(jnp.asarray(-1.5)) == -jnp.inf
+    assert d.logpdf(jnp.asarray(3.5)) == -jnp.inf
+    assert d.logcdf(jnp.asarray(-1.5)) == -jnp.inf
+    assert float(d.logcdf(jnp.asarray(4.0))) == 0.0
+
+    # one-sided: half-normal renormalizes by log(2)
+    h = mc.Truncated(mc.Normal(0.0, 1.0), 0.0, None)
+    x = jnp.asarray(0.7)
+    np.testing.assert_allclose(float(h.logpdf(x)),
+                               float(mc.Normal(0.0, 1.0).logpdf(x)) + np.log(2.0),
+                               rtol=1e-12)
+    # differentiable in the interior
+    g = jax.grad(lambda t: h.logpdf(t))(x)
+    assert np.isfinite(float(g))
+
+
+def test_truncated_sampling_moment():
+    """Half-normal target via Truncated in a model: E[x] = sqrt(2/pi)."""
+    import mcmc_jl_tpu as mc
+
+    def ex(v):
+        mc.tilde(v, mc.Truncated(mc.Normal(0.0, 1.0), 0.0, None))
+
+    m = mc.model(ex, v=np.asarray([0.5]))
+    chain = mc.run(m, mc.RWM(0.5), mc.SerialMC(steps=20000, burnin=2000),
+                   seed=0)
+    x = chain.samples.values[:, 0]
+    assert np.all(x >= 0)
+    assert abs(x.mean() - np.sqrt(2 / np.pi)) < 0.03, x.mean()
