@@ -99,6 +99,10 @@ def resume(x, *, steps: int = 100, **kwargs):
     assert isinstance(x, MCMCTask)
     if isinstance(x.runner, SerialMC):
         return resume_serialmc(x, steps=steps)
+    from .ptmc import PTMC, resume_ptmc
+
+    if isinstance(x.runner, PTMC):
+        return resume_ptmc(x, steps=steps, **kwargs)
     raise TypeError(f"unknown runner type {type(x.runner).__name__}")
 
 

@@ -237,11 +237,13 @@ def _ptmc_scan(model, sampler, ctx, states, key, *, steps, swap_period, betas,
     return states, ys
 
 
-def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
+def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None,
+             _carry_states=None):
     """Run replica-exchange tempering; returns the cold-rung chain (or a
     list of them with ``walkers > 1`` — independent ladders advanced as one
     (walkers, K) vmapped batch, optionally sharded over ``mesh``'s 'chains'
-    axis)."""
+    axis).  ``_carry_states``: a (K,)-ladder state pytree to continue from
+    (resume path) instead of fresh initialization."""
     sampler.check(model)
     t0 = time.time()
     if key is None:
@@ -261,8 +263,15 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
 
     ctx = RunCtx(burnin=runner.burnin)
 
-    # one code path for any W: a vmapped (W, K) batch (W == 1 unwraps below)
-    states = jax.vmap(init_ladder)(jax.random.split(k_init, W))
+    if _carry_states is not None:
+        assert W == 1, "resume continues one walker's ladder at a time"
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[None], _carry_states
+        )
+    else:
+        # one code path for any W: a vmapped (W, K) batch (W == 1 unwraps
+        # below)
+        states = jax.vmap(init_ladder)(jax.random.split(k_init, W))
     if mesh is not None:
         # shard the walker axis; XLA propagates through the vmapped scan
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -318,3 +327,14 @@ def run_ptmc(model, sampler, runner: PTMC, seed: int = 0, key=None, mesh=None):
     if W == 1:
         return one_chain(0)
     return [one_chain(w) for w in range(W)]
+
+
+def resume_ptmc(task, steps: int = 100, **kwargs):
+    """Exact continuation of a PTMC chain (reference resume semantics,
+    runners.jl:48-68, strictly better: the whole ladder's sampler states —
+    tuner/dual-averaging adaptation included — carry over)."""
+    runner = dataclasses.replace(task.runner, steps=steps, burnin=0,
+                                 walkers=1)
+    return run_ptmc(task.model, task.sampler, runner,
+                    key=jax.random.fold_in(task.key, task.pos),
+                    _carry_states=task.state, **kwargs)

