@@ -178,10 +178,16 @@ def _asmc_loop(model, sampler, runner: ASMC, states, th, key):
                 betas=betas_b, ess=ess_b, accept=acc_b)
 
 
-def run_asmc(model, sampler, runner: ASMC, seed: int = 0, key=None):
+def run_asmc(model, sampler, runner: ASMC, seed: int = 0, key=None,
+             mesh=None):
     """Anneal prior -> posterior; returns an MCMCChain whose samples are the
     final (unweighted) particle ensemble, with diagnostics ``logz``,
-    ``betas`` (adaptive schedule), ``ess`` and ``accept`` per stage."""
+    ``betas`` (adaptive schedule), ``ess`` and ``accept`` per stage.
+
+    ``mesh``: shard the particle axis over the mesh's 'chains' axis —
+    per-particle likelihood/move work stays local; only the ESS/logZ
+    reductions and resampling gathers cross devices (psum / all-to-all
+    inserted by XLA)."""
     sampler.check(model)
     t0 = time.time()
     if key is None:
@@ -195,6 +201,19 @@ def run_asmc(model, sampler, runner: ASMC, seed: int = 0, key=None):
     states = jax.vmap(lambda t, k: sampler.init(view0, t, k))(
         th0, jax.random.split(k_init, N)
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape["chains"]
+        assert N % n_dev == 0, (
+            f"ASMC particles ({N}) must divide the mesh 'chains' axis "
+            f"({n_dev})"
+        )
+        shard = lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(*(("chains",) + (None,) * (x.ndim - 1))))
+        )
+        th0 = shard(th0)
+        states = jax.tree_util.tree_map(shard, states)
 
     out = _asmc_loop(model, sampler, runner, states, th0, k_run)
     n_stages = int(out["n_stages"])

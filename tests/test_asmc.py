@@ -94,3 +94,19 @@ def test_asmc_validation():
         mc.ASMC(logprior=None, prior_sample=lambda k: 0.0)
     with pytest.raises(AssertionError):
         mc.ASMC(logprior=lambda t: 0.0, prior_sample=None)
+
+
+def test_asmc_sharded_over_mesh():
+    """Particle axis sharded over the virtual 8-device mesh: same gates
+    (logZ, posterior moments) through the collective-inserting path."""
+    from mcmc_jl_tpu.parallel.sharded import make_mesh
+
+    logp, logprior, prior_sample, logz, mu, sd = _conjugate()
+    m = mc.model(logp, gradient=True, init=jnp.zeros(1))
+    mesh = make_mesh(8, 1)
+    runner = mc.ASMC(particles=2048, target_ess=0.5, moves=2,
+                     logprior=logprior, prior_sample=prior_sample)
+    chain = mc.run(m * mc.RWM(0.5) * runner, seed=3, mesh=mesh)
+    assert abs(chain.diagnostics["logz"] - logz) < 0.3
+    x = chain.samples.values[:, 0]
+    assert abs(x.mean() - mu) < 0.1
