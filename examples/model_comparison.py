@@ -75,3 +75,23 @@ if __name__ == "__main__":
           f"({smc.diagnostics['n_stages']} adaptive stages)")
     print(f"logZ(M0) analytic          {logz_m0:10.4f}")
     print(f"log BF10 (M1 vs M0)        {exact - logz_m0:10.4f}")
+
+    # --- predictive comparison: PSIS-LOO / WAIC (stats/ic.py) from the
+    # beta=1 rung's posterior draws; elpd ranks out-of-sample fit where
+    # log BF ranks prior-inclusive evidence
+    post = chain.samples.values  # cold-rung (beta=1) draws, post-burnin
+
+    def ll_pw(th):  # pointwise log-lik of M1 (per observation)
+        return -0.5 * (yd - th[0]) ** 2 - 0.5 * L2PI
+
+    ll1 = mc.pointwise_loglik(ll_pw, post)
+    ll0 = np.broadcast_to(
+        (-0.5 * y ** 2 - 0.5 * L2PI)[None, :], ll1.shape
+    )  # M0 has no parameters
+    loo1, loo0 = mc.psis_loo(ll1), mc.psis_loo(ll0)
+    print(f"elpd_loo(M1)               {loo1['elpd_loo']:10.4f}  "
+          f"(p_loo {loo1['p_loo']:.2f}, max k-hat "
+          f"{loo1['pareto_k'].max():.2f})")
+    print(f"elpd_loo(M0)               {loo0['elpd_loo']:10.4f}")
+    for name, elpd, d, dse in mc.compare_elpd({"M1": loo1, "M0": loo0}):
+        print(f"  rank {name}: elpd {elpd:8.3f}  d_elpd {d:7.3f} +- {dse:.3f}")

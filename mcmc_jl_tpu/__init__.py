@@ -40,7 +40,9 @@ from .stats import (
     mean, mean_rb, mcvar, mcse, var, std, ess, actime, acceptance, describe,
     wsample, linear_zv, quadratic_zv, linearZv, quadraticZv,
     rhat, ess_pooled, summarize_chains, mcmc_quantile, logz_ti, logz_ss,
+    pointwise_loglik, waic, psis_loo,
 )
+from .stats import compare as compare_elpd
 
 # legacy alias matching the reference's MCMCLikModel typealias (likmodel.jl:69)
 MCMCLikModel = LogDensityModel
@@ -62,4 +64,5 @@ __all__ = [
     "acceptance", "describe", "wsample", "linear_zv", "quadratic_zv", "linearZv",
     "quadraticZv", "rhat", "ess_pooled", "summarize_chains", "mcmc_quantile",
     "logz_ti", "logz_ss",
+    "pointwise_loglik", "waic", "psis_loo", "compare_elpd",
 ]

@@ -7,6 +7,7 @@ from .quantile import mcmc_quantile
 from .zv import linear_zv, quadratic_zv, linearZv, quadraticZv
 from .multichain import rhat, ess_pooled, summarize_chains
 from .evidence import logz_ti, logz_ss
+from .ic import pointwise_loglik, waic, psis_loo, compare
 
 __all__ = [
     "mean", "mean_rb", "mcvar", "mcse", "var", "std",
@@ -15,4 +16,5 @@ __all__ = [
     "linear_zv", "quadratic_zv", "linearZv", "quadraticZv",
     "rhat", "ess_pooled", "summarize_chains",
     "logz_ti", "logz_ss",
+    "pointwise_loglik", "waic", "psis_loo", "compare",
 ]
