@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .pallas_glm import glm_hmc_leapfrogs, pad_chains, pad_design
+from .pallas_glm import glm_hmc_step, pad_chains, pad_design
 
 
 @partial(jax.jit, static_argnames=("d", "steps", "n_leaps", "block_chains",
@@ -59,32 +59,30 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
     lp0, g0 = logp_grad(theta0)
 
     def step(carry, k):
+        # refresh noise + MH uniforms in XLA (same stream as the generic
+        # path); the whole transition — kick/drift trajectory, Hamiltonian,
+        # accept-select — runs inside ONE kernel launch (pallas_glm.py
+        # _step_kernel), so the (C, d_pad) state never round-trips HBM
+        # between refresh and accept.
         theta, lp, g = carry
         k_mom, k_acc = jax.random.split(k)
         m0 = live * jax.random.normal(k_mom, theta.shape, dtype=theta.dtype)
-        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
-        p_theta, p_m, p_g, p_lp = glm_hmc_leapfrogs(
-            XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
+        logu = jnp.log(jax.random.uniform(k_acc, (C, 1), dtype=theta.dtype))
+        theta, g, lp, acc = glm_hmc_step(
+            XT, Y, theta, g, lp, m0, logu, eps, n_leaps=n_leaps,
             block_chains=block_chains, interpret=interpret,
             mxu_dtype=mxu_dtype, kind=kind,
             weights=W, offsets=O, prior_prec=lam, integrator=integrator,
         )
-        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
-        ratio = H0 - H
-        u = jnp.log(jax.random.uniform(k_acc, (C,), dtype=theta.dtype))
-        accept = jnp.where(jnp.isnan(ratio), False, (ratio > 0) | (ratio > u))
-        a = accept[:, None]
-        theta = jnp.where(a, p_theta, theta)
-        g = jnp.where(a, p_g, g)
-        lp = jnp.where(accept, p_lp, lp)
-        info = {"plogtarget": lp, "accept": accept}
+        info = {"plogtarget": lp[:, 0], "accept": acc[:, 0] > 0.5}
         if collect:
             info.update({"ppars": theta, "pgrads": g})
         return (theta, lp, g), info
 
     keys = jax.random.split(key, steps)
-    (theta, lp, g), infos = jax.lax.scan(step, (theta0, lp0, g0), keys)
-    return (theta, lp, g), infos
+    (theta, lp, g), infos = jax.lax.scan(step, (theta0, lp0[:, None], g0),
+                                         keys)
+    return (theta, lp[:, 0], g), infos
 
 
 def run_glm_hmc(X, Y, n_chains, steps, n_leaps=10, eps=0.05, seed=0,

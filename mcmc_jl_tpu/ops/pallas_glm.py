@@ -89,22 +89,14 @@ def jsp_log_ndtr(z):
     return jsp.log_ndtr(z)
 
 
-def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
-            integrator="leapfrog"):
-    """One HMC trajectory (n_leaps leapfrogs) for a block of chains.
+def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
+               use_w, use_o, unit_prior):
+    """Build (grad_only, logp_grad) closures over VMEM-resident GLM data.
 
+    Shared by the trajectory kernel and the full-transition kernel.
     ``use_w``/``use_o``/``unit_prior`` are trace-time flags: the default
     unweighted / no-offset / unit-prior path compiles with zero extra ops
     (and zero extra VMEM inputs) in the hot loop."""
-    it = iter(refs)
-    eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
-    w_ref = next(it) if use_w else None
-    o_ref = next(it) if use_o else None
-    theta_ref, m_ref, grad_ref = (next(it) for _ in range(3))
-    theta_out, m_out, grad_out, lp_out = list(it)
-
-    eps = eps_ref[0, 0]
-    lam = lam_ref[0, 0]  # N(0, 1/lam) prior precision
     xt = xt_ref[:].astype(mxu_dtype)   # (d_pad, N)
     xtt = xt_ref[:].T.astype(mxu_dtype)
     y = y_ref[:]              # (1, N)
@@ -121,10 +113,10 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
         return lam * theta if not unit_prior else theta
 
     def grad_only(theta):
-        # matmuls feed the MXU in mxu_dtype (bf16 doubles throughput on the
-        # systolic array); accumulation stays f32.  Only the gradient is
-        # needed inside the trajectory — the log-lik terms (softplus /
-        # log_ndtr transcendentals) are evaluated once at the end.
+        # matmuls feed the MXU in mxu_dtype; accumulation stays f32.  Only
+        # the gradient is needed inside the trajectory — the log-lik terms
+        # (softplus / log_ndtr transcendentals) are evaluated once at the
+        # end of the trajectory.
         r = resid_fn(predictor(theta), y)
         if use_w:
             r = w * r
@@ -147,10 +139,14 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
         )
         return lp, g
 
-    # trace-time integrator body generated from the shared kick/drift
-    # schedule (samplers/integrators.py SCHEDULES — the single source of
-    # truth for the scheme coefficients): per macro step, leapfrog costs 1
-    # grad matmul pair, 2stage 2, 3stage 3
+    return grad_only, logp_grad
+
+
+def _trajectory(theta, m, g, eps, grad_only, *, n_leaps, integrator):
+    """n_leaps macro steps of the trace-time integrator body generated from
+    the shared kick/drift schedule (samplers/integrators.py SCHEDULES — the
+    single source of truth for the scheme coefficients): per macro step,
+    leapfrog costs 1 grad matmul pair, 2stage 2, 3stage 3."""
     schedule = SCHEDULES[integrator]
 
     def body(_, carry):
@@ -163,15 +159,74 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
                 g = grad_only(theta)
         return theta, m, g
 
-    theta, m, g = jax.lax.fori_loop(
-        0, n_leaps, body, (theta_ref[:], m_ref[:], grad_ref[:])
-    )
+    return jax.lax.fori_loop(0, n_leaps, body, (theta, m, g))
+
+
+def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
+            integrator="leapfrog"):
+    """One HMC trajectory (n_leaps leapfrogs) for a block of chains."""
+    it = iter(refs)
+    eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
+    w_ref = next(it) if use_w else None
+    o_ref = next(it) if use_o else None
+    theta_ref, m_ref, grad_ref = (next(it) for _ in range(3))
+    theta_out, m_out, grad_out, lp_out = list(it)
+
+    eps = eps_ref[0, 0]
+    lam = lam_ref[0, 0]  # N(0, 1/lam) prior precision
+    grad_only, logp_grad = _glm_funcs(
+        xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
+        use_w=use_w, use_o=use_o, unit_prior=unit_prior)
+
+    theta, m, g = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
+                              grad_only, n_leaps=n_leaps,
+                              integrator=integrator)
     lp, g = logp_grad(theta)
 
     theta_out[:] = theta
     m_out[:] = m
     grad_out[:] = g
     lp_out[:] = jnp.broadcast_to(lp, lp_out.shape)
+
+
+def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
+                 integrator="leapfrog"):
+    """One FULL HMC transition for a block of chains: momentum refresh
+    (pre-drawn noise in), whole trajectory, Metropolis accept — nothing but
+    the noise generation stays outside the kernel.  Compared to launching
+    the trajectory kernel and doing accept/refresh in XLA, this keeps the
+    (C, d_pad) state entirely in VMEM across the transition and removes
+    ~10 HBM round-trips per step (reference hot loop: HMC.jl:136-165)."""
+    it = iter(refs)
+    eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
+    w_ref = next(it) if use_w else None
+    o_ref = next(it) if use_o else None
+    theta_ref, grad_ref, lp_ref, m0_ref, logu_ref = (next(it)
+                                                     for _ in range(5))
+    theta_out, grad_out, lp_out, acc_out = list(it)
+
+    eps = eps_ref[0, 0]
+    lam = lam_ref[0, 0]
+    grad_only, logp_grad = _glm_funcs(
+        xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
+        use_w=use_w, use_o=use_o, unit_prior=unit_prior)
+
+    th0, g0, lp0 = theta_ref[:], grad_ref[:], lp_ref[:]     # lp0: (blk, 1)
+    m0 = m0_ref[:]                     # pre-masked: zero on padded lanes
+    h0 = -lp0 + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
+
+    theta, m, g = _trajectory(th0, m0, g0, eps, grad_only,
+                              n_leaps=n_leaps, integrator=integrator)
+    lp, g = logp_grad(theta)
+    h = -lp + 0.5 * jnp.sum(m * m, axis=1, keepdims=True)
+    ratio = h0 - h
+    # reference accept rule incl. NaN-reject (glm_hmc.py parity)
+    acc = jnp.where(jnp.isnan(ratio), False,
+                    (ratio > 0) | (ratio > logu_ref[:]))
+    theta_out[:] = jnp.where(acc, theta, th0)
+    grad_out[:] = jnp.where(acc, g, g0)
+    lp_out[:] = jnp.where(acc, lp, lp0)
+    acc_out[:] = acc.astype(jnp.float32)
 
 
 @functools.partial(
@@ -230,10 +285,15 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     inputs += [theta, m, grad]
     in_specs += [chain_spec, chain_spec, chain_spec]
 
+    # default scoped-VMEM budget is 16 MiB; v5e has 128 MiB per core.  A
+    # larger budget admits bigger chain blocks (fewer grid steps => less
+    # re-staging of the replicated X^T block) and the bf16 MXU path.
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior, integrator=integrator),
+        compiler_params=params,
         grid=grid,
         in_specs=in_specs,
         out_specs=[chain_spec, chain_spec, chain_spec,
@@ -262,6 +322,91 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     unit = isinstance(prior_prec, (int, float)) and float(prior_prec) == 1.0
     return _leapfrogs_inner(
         XT, Y, theta, m, grad, eps, n_leaps=n_leaps,
+        block_chains=block_chains, interpret=interpret, mxu_dtype=mxu_dtype,
+        kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
+        _use_w=weights is not None, _use_o=offsets is not None,
+        _unit_prior=unit, integrator=integrator,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
+                     "kind", "_use_w", "_use_o", "_unit_prior", "integrator"),
+)
+def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
+                block_chains=256, interpret=False, mxu_dtype=jnp.float32,
+                kind="logistic", weights=None, offsets=None, prior_prec=1.0,
+                _use_w=False, _use_o=False, _unit_prior=True,
+                integrator="leapfrog"):
+    """Run one fused HMC transition (refresh + trajectory + accept).
+
+    Args beyond :func:`_leapfrogs_inner`:
+      lp:   (C, 1) current log-target.
+      m0:   (C, d_pad) refreshed momenta (zero on padded lanes).
+      logu: (C, 1) log-uniform draws for the Metropolis test.
+    Returns (theta, grad, lp (C,1), accept (C,1) as f32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, d_pad = theta.shape
+    N = XT.shape[1]
+    blk = min(block_chains, C)
+    assert C % blk == 0, f"chains ({C}) must divide block ({blk})"
+    eps = jnp.float32(eps)
+    lam = jnp.asarray(prior_prec, dtype=jnp.float32)
+
+    grid = (C // blk,)
+    chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((blk, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    inputs = [jnp.reshape(eps, (1, 1)), jnp.reshape(lam, (1, 1)), XT, Y]
+    in_specs = [
+        smem_spec, smem_spec,
+        pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        obs_spec,
+    ]
+    if _use_w:
+        inputs.append(jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    if _use_o:
+        inputs.append(jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    inputs += [theta, grad, lp, m0, logu]
+    in_specs += [chain_spec, chain_spec, col_spec, chain_spec, col_spec]
+
+    return pl.pallas_call(
+        functools.partial(_step_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
+                          kind=kind, use_w=_use_w, use_o=_use_o,
+                          unit_prior=_unit_prior, integrator=integrator),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[chain_spec, chain_spec, col_spec, col_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
+            jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
+            jax.ShapeDtypeStruct((C, 1), theta.dtype),
+            jax.ShapeDtypeStruct((C, 1), theta.dtype),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+
+def glm_hmc_step(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
+                 block_chains=256, interpret=False, mxu_dtype=jnp.float32,
+                 kind="logistic", weights=None, offsets=None, prior_prec=1.0,
+                 integrator="leapfrog"):
+    """Public fused-transition entry (docs on :func:`_step_inner`)."""
+    unit = isinstance(prior_prec, (int, float)) and float(prior_prec) == 1.0
+    return _step_inner(
+        XT, Y, theta, grad, lp, m0, logu, eps, n_leaps=n_leaps,
         block_chains=block_chains, interpret=interpret, mxu_dtype=mxu_dtype,
         kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
         _use_w=weights is not None, _use_o=offsets is not None,

@@ -283,3 +283,52 @@ def test_kernel_multistage_matches_generic_integrator(integ):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(lpk), np.asarray(lp),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_fused_transition_matches_composed_step():
+    """glm_hmc_step (refresh+trajectory+accept in ONE kernel) must agree
+    with composing glm_hmc_leapfrogs + the XLA accept logic on the same
+    noise/uniform inputs."""
+    from mcmc_jl_tpu.ops.pallas_glm import glm_hmc_step
+
+    X, Y = _data(n=72, d=5, seed=9)
+    C, d = 16, X.shape[1]
+    rng = np.random.default_rng(2)
+    XT, Y2, d_pad = pad_design(X, Y)
+    live = (np.arange(d_pad) < d).astype(np.float32)[None, :]
+
+    theta = pad_chains(jnp.asarray(rng.standard_normal((C, d)) * 0.2,
+                                   jnp.float32), d_pad)
+    m0 = jnp.asarray(live * rng.standard_normal((C, d_pad)), jnp.float32)
+    logu = jnp.asarray(np.log(rng.random((C, 1))), jnp.float32)
+
+    # start grad/lp from the kernel itself (eps=0 trajectory)
+    _, _, g, lp_l = glm_hmc_leapfrogs(XT, Y2, theta, m0, jnp.zeros_like(theta),
+                                      0.0, n_leaps=1, block_chains=C,
+                                      interpret=True)
+    lp = lp_l[:, None]
+
+    th_f, g_f, lp_f, acc_f = glm_hmc_step(
+        XT, Y2, theta, g, lp, m0, logu, 0.42, n_leaps=4, block_chains=C,
+        interpret=True)
+
+    # composed: trajectory kernel + accept in XLA
+    p_th, p_m, p_g, p_lp = glm_hmc_leapfrogs(
+        XT, Y2, theta, m0, g, 0.42, n_leaps=4, block_chains=C, interpret=True)
+    H0 = -lp[:, 0] + 0.5 * jnp.sum(m0 * m0, axis=1)
+    H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
+    ratio = H0 - H
+    acc = np.asarray(jnp.where(jnp.isnan(ratio), False,
+                               (ratio > 0) | (ratio > logu[:, 0])))
+    assert acc.any() and not acc.all(), "want a mix of accepts and rejects"
+    np.testing.assert_array_equal(np.asarray(acc_f[:, 0]) > 0.5, acc)
+    a = acc[:, None]
+    np.testing.assert_allclose(np.asarray(th_f),
+                               np.where(a, np.asarray(p_th), np.asarray(theta)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lp_f[:, 0]),
+                               np.where(acc, np.asarray(p_lp), np.asarray(lp[:, 0])),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_f),
+                               np.where(a, np.asarray(p_g), np.asarray(g)),
+                               rtol=1e-6, atol=1e-6)
