@@ -13,7 +13,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 BLK, D, N, ITERS = 1024, 128, 1000, 100
 
 
-def kern(xt_ref, th_ref, out_ref, *, dt, cast_each):
+def kern(xt_ref, th_ref, out_ref, *, dt):
     xt = xt_ref[:].astype(dt)
     xtt = xt_ref[:].T.astype(dt)
     th0 = th_ref[:]
@@ -30,7 +30,7 @@ def kern(xt_ref, th_ref, out_ref, *, dt, cast_each):
 @partial(jax.jit, static_argnames=("dt",))
 def run(xt, th, dt):
     return pl.pallas_call(
-        partial(kern, dt=dt, cast_each=True),
+        partial(kern, dt=dt),
         in_specs=[pl.BlockSpec((D, N), lambda: (0, 0), memory_space=pltpu.VMEM),
                   pl.BlockSpec((BLK, D), lambda: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((BLK, D), lambda: (0, 0), memory_space=pltpu.VMEM),

@@ -211,7 +211,12 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
         use_w=use_w, use_o=use_o, unit_prior=unit_prior)
 
-    th0, g0, lp0 = theta_ref[:], grad_ref[:], lp_ref[:]     # lp0: (blk, 1)
+    # per-chain scalars arrive lane-broadcast as (blk, LANE) blocks — Mosaic
+    # cannot tile a (blk, 1) VMEM block (the round-1 lowering failure); only
+    # lane 0 is meaningful, sliced to (blk, 1) as in-register values.
+    th0, g0 = theta_ref[:], grad_ref[:]
+    lp0 = lp_ref[:][:, 0:1]
+    logu = logu_ref[:][:, 0:1]
     m0 = m0_ref[:]                     # pre-masked: zero on padded lanes
     h0 = -lp0 + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
 
@@ -220,13 +225,19 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     lp, g = logp_grad(theta)
     h = -lp + 0.5 * jnp.sum(m * m, axis=1, keepdims=True)
     ratio = h0 - h
-    # reference accept rule incl. NaN-reject (glm_hmc.py parity)
-    acc = jnp.where(jnp.isnan(ratio), False,
-                    (ratio > 0) | (ratio > logu_ref[:]))
-    theta_out[:] = jnp.where(acc, theta, th0)
-    grad_out[:] = jnp.where(acc, g, g0)
-    lp_out[:] = jnp.where(acc, lp, lp0)
-    acc_out[:] = acc.astype(jnp.float32)
+    # reference accept rule incl. NaN-reject (glm_hmc.py parity).  NaN is
+    # scrubbed with a FLOAT select (a bool-valued select_n on a (blk, 1)
+    # vector hits an unsupported i8->i1 truncation in Mosaic), and every
+    # select runs at full lane width on an explicitly broadcast mask.
+    ratio = jnp.where(jnp.isnan(ratio), -jnp.inf, ratio)
+    acc = (ratio > 0) | (ratio > logu)                     # (blk, 1) mask
+    accw = jnp.broadcast_to(acc, th0.shape)
+    theta_out[:] = jnp.where(accw, theta, th0)
+    grad_out[:] = jnp.where(accw, g, g0)
+    accl = jnp.broadcast_to(acc, lp_out.shape)
+    lp_out[:] = jnp.where(accl, jnp.broadcast_to(lp, lp_out.shape),
+                          jnp.broadcast_to(lp0, lp_out.shape))
+    acc_out[:] = accl.astype(jnp.float32)
 
 
 @functools.partial(
@@ -260,7 +271,8 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     C, d_pad = theta.shape
     N = XT.shape[1]
     blk = min(block_chains, C)
-    assert C % blk == 0, f"chains ({C}) must divide block ({blk})"
+    assert C % blk == 0, \
+        f"block_chains ({blk}) must evenly divide the chain count ({C})"
     eps = jnp.float32(eps)
     lam = jnp.asarray(prior_prec, dtype=jnp.float32)
 
@@ -353,14 +365,17 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
     C, d_pad = theta.shape
     N = XT.shape[1]
     blk = min(block_chains, C)
-    assert C % blk == 0, f"chains ({C}) must divide block ({blk})"
+    assert C % blk == 0, \
+        f"block_chains ({blk}) must evenly divide the chain count ({C})"
     eps = jnp.float32(eps)
     lam = jnp.asarray(prior_prec, dtype=jnp.float32)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((blk, 1), lambda i: (i, 0),
+    # per-chain scalars ride (blk, LANE) lane-broadcast blocks: Mosaic
+    # refuses (blk, 1) VMEM tiles (see _step_kernel)
+    col_spec = pl.BlockSpec((blk, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -377,10 +392,12 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
     if _use_o:
         inputs.append(jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
         in_specs.append(obs_spec)
-    inputs += [theta, grad, lp, m0, logu]
+    lp_w = jnp.broadcast_to(jnp.reshape(lp, (C, 1)), (C, LANE))
+    logu_w = jnp.broadcast_to(jnp.reshape(logu, (C, 1)), (C, LANE))
+    inputs += [theta, grad, lp_w, m0, logu_w]
     in_specs += [chain_spec, chain_spec, col_spec, chain_spec, col_spec]
 
-    return pl.pallas_call(
+    theta, grad, lp, acc = pl.pallas_call(
         functools.partial(_step_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior, integrator=integrator),
@@ -392,11 +409,12 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
         out_shape=[
             jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
             jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
-            jax.ShapeDtypeStruct((C, 1), theta.dtype),
-            jax.ShapeDtypeStruct((C, 1), theta.dtype),
+            jax.ShapeDtypeStruct((C, LANE), theta.dtype),
+            jax.ShapeDtypeStruct((C, LANE), theta.dtype),
         ],
         interpret=interpret,
     )(*inputs)
+    return theta, grad, lp[:, :1], acc[:, :1]
 
 
 def glm_hmc_step(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,

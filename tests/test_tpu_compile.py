@@ -1,0 +1,58 @@
+"""TPU compile smoke tests (run with ``pytest -m tpu``; excluded by default).
+
+Round-1 lesson (ADVICE.md): the fused transition kernel ``glm_hmc_step`` was
+validated only in interpret mode, which skips Mosaic lowering entirely — it
+then failed to compile on real hardware and the headline bench collapsed to
+the generic path.  These tests compile the Pallas kernels on the *real* TPU
+backend (AOT ``lower().compile()``, no device buffers needed beyond the
+remote-compile tunnel) in a subprocess, because conftest.py pins the suite
+interpreter to CPU.
+
+The production safety net is separate: ``ops/glm_hmc.step_kernel_supported``
+probe-compiles before routing and falls back to the composed
+trajectory-kernel path.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_PROBE = r"""
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+if jax.default_backend() != "tpu":
+    print("NO_TPU"); raise SystemExit(0)
+from mcmc_jl_tpu.ops.glm_hmc import step_kernel_supported
+from mcmc_jl_tpu.ops.pallas_glm import glm_hmc_leapfrogs, LANE
+
+# full-transition kernel, default logistic config at bench-like block shape
+assert step_kernel_supported(LANE, 1000, 256), "glm_hmc_step failed Mosaic"
+# weighted/offset/non-unit-prior specialization (extra VMEM inputs)
+assert step_kernel_supported(LANE, 500, 128, kind="probit", use_w=True,
+                             use_o=True, unit_prior=False,
+                             integrator="2stage"), \
+    "specialized glm_hmc_step failed Mosaic"
+
+# trajectory kernel AOT compile
+f32 = jax.ShapeDtypeStruct
+cd = f32((128, LANE), jnp.float32)
+jax.jit(lambda *a: glm_hmc_leapfrogs(*a, n_leaps=2, block_chains=128)).lower(
+    f32((LANE, 1000), jnp.float32), f32((1, 1000), jnp.float32),
+    cd, cd, cd, f32((), jnp.float32)).compile()
+print("OK")
+"""
+
+
+@pytest.mark.tpu
+def test_pallas_kernels_compile_on_tpu():
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE], cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=560, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    if "NO_TPU" in out.stdout:
+        pytest.skip("no TPU backend available")
+    assert "OK" in out.stdout, out.stdout + out.stderr[-2000:]
