@@ -1,4 +1,7 @@
 """Microbench: fused-loop matmul pair f32 vs bf16 at kernel shapes."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
 import time
 from functools import partial
 

@@ -1,6 +1,9 @@
 """Micro v2: incrementally morph toward the real GLM kernel to find the cliff.
 Variants: A = base matmul pair; B = + leapfrog carries (theta,m,g) + y-resid;
 C = B + grid over 16 blocks (16384 chains); D = C + logp at end."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
 import time
 from functools import partial
 import sys

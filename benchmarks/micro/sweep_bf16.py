@@ -1,4 +1,7 @@
 """Sweep mxu_dtype x chains for the fused GLM HMC kernel on TPU."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
 import time
 from functools import partial
 

@@ -5,6 +5,7 @@ from .acf import autocov
 __all__ = ["autocov"]
 
 from .pallas_glm import glm_hmc_leapfrogs, pad_design, pad_chains
-from .glm_hmc import run_glm_hmc
+from .glm_hmc import run_glm_hmc, run_glm_hmc_sharded
 
-__all__ += ["glm_hmc_leapfrogs", "pad_design", "pad_chains", "run_glm_hmc"]
+__all__ += ["glm_hmc_leapfrogs", "pad_design", "pad_chains",
+            "run_glm_hmc", "run_glm_hmc_sharded"]

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pallas_glm import (glm_hmc_leapfrogs, glm_hmc_step, pad_chains,
                          pad_design)
@@ -244,6 +245,82 @@ def _pick_block(n):
     if n <= 256:
         return n
     return 256 if n % 256 == 0 else max(math.gcd(n, 256), 1)
+
+
+def run_glm_hmc_sharded(X, Y, n_chains, steps, mesh=None, axis="chains",
+                        n_leaps=10, eps=0.05, seed=0, key=None, inits=None,
+                        block_chains=256, interpret=False,
+                        mxu_dtype=jnp.float32, kind="logistic",
+                        weights=None, offsets=None, prior_prec=1.0,
+                        integrator="leapfrog"):
+    """Mesh-sharded fused GLM-HMC: chains split over ``mesh[axis]``.
+
+    The multi-chip version of :func:`run_glm_hmc` — the reference's ``prun``
+    process pool (runners.jl:35-42) at pod scale: each device runs the
+    Pallas trajectory kernel on its local chain shard; the design matrix and
+    responses are replicated; chains are independent, so the hot loop uses
+    NO collectives at all (the reason near-linear scaling is attainable —
+    SURVEY §3.5).  Per-device PRNG streams come from ``fold_in(key, axis
+    index)``, so results are independent of the mesh size layout-wise but
+    not bitwise-identical across different device counts.
+
+    ``mesh`` defaults to a 1-D mesh over all local devices.  ``n_chains``
+    must be divisible by the mesh axis size (and the per-device chunk by
+    ``block_chains``).  Returns the same ``(theta (C, d), infos)`` surface
+    as :func:`run_glm_hmc`, with rows [i*C/n_dev:(i+1)*C/n_dev] produced by
+    device i.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs, (axis,))
+    n_dev = mesh.shape[axis]
+    assert n_chains % n_dev == 0, (
+        f"n_chains ({n_chains}) must be divisible by the '{axis}' mesh "
+        f"axis size ({n_dev})")
+    c_local = n_chains // n_dev
+
+    XT, Y2, d_pad = pad_design(X, Y)
+    N = XT.shape[1]
+    d = X.shape[1]
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    if inits is None:
+        inits = 0.1 * jax.random.normal(k_init, (n_chains, d),
+                                        dtype=jnp.float32)
+    theta0 = pad_chains(jnp.asarray(inits, dtype=jnp.float32), d_pad)
+    block = min(block_chains, c_local)
+    if c_local % block != 0:
+        block = _pick_block(c_local)
+    W = (None if weights is None
+         else jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
+    O = (None if offsets is None
+         else jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
+    lam = float(prior_prec)
+    # one key row per device, sharded alongside the chain rows
+    run_keys = jax.vmap(lambda i: jax.random.fold_in(k_run, i))(
+        jnp.arange(n_dev))
+
+    kw = dict(d=d, steps=steps, n_leaps=n_leaps, block_chains=block,
+              interpret=interpret, mxu_dtype=mxu_dtype, kind=kind,
+              lam=lam, integrator=integrator)
+
+    def local_run(xt, y, th0, keys):
+        # W/O are closed over: shard_map lifts them as replicated constants
+        (theta, lp, g), infos = _run(xt, y, th0, jnp.float32(eps), keys[0],
+                                     W=W, O=O, **kw)
+        return theta, infos
+
+    rep = P()
+    fn = shard_map(local_run, mesh=mesh,
+                   in_specs=(rep, rep, P(axis), P(axis)),
+                   out_specs=(P(axis), P(None, axis)),
+                   check_rep=False)
+    theta, infos = fn(XT, Y2, theta0, run_keys)
+    return theta[:, :d], infos
 
 
 def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None,

@@ -98,7 +98,6 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
     unweighted / no-offset / unit-prior path compiles with zero extra ops
     (and zero extra VMEM inputs) in the hot loop."""
     xt = xt_ref[:].astype(mxu_dtype)   # (d_pad, N)
-    xtt = xt_ref[:].T.astype(mxu_dtype)
     y = y_ref[:]              # (1, N)
     w = w_ref[:] if use_w else None   # (1, N) per-observation weights
     o = o_ref[:] if use_o else None   # (1, N) linear-predictor offsets
@@ -112,6 +111,15 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
     def prior_grad(theta):
         return lam * theta if not unit_prior else theta
 
+    def rxt(r):
+        # r @ X as a dot_general contracting r.1 with xt.1 — the MXU takes
+        # either operand orientation; materializing an explicit (N, d_pad)
+        # transpose of xt in VMEM costs a 128x1000 shuffle per kernel launch
+        # and doubles the replicated design matrix's VMEM footprint.
+        return jax.lax.dot_general(
+            r.astype(mxu_dtype), xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def grad_only(theta):
         # matmuls feed the MXU in mxu_dtype; accumulation stays f32.  Only
         # the gradient is needed inside the trajectory — the log-lik terms
@@ -120,9 +128,7 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
         r = resid_fn(predictor(theta), y)
         if use_w:
             r = w * r
-        # grad = r @ X - lam * theta ; X = xt.T
-        return jnp.dot(r.astype(mxu_dtype), xtt,
-                       preferred_element_type=jnp.float32) - prior_grad(theta)
+        return rxt(r) - prior_grad(theta)
 
     def logp_grad(theta):
         logits = predictor(theta)
@@ -131,8 +137,7 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
         if use_w:
             r = w * r
             ll = w * ll
-        g = jnp.dot(r.astype(mxu_dtype), xtt,
-                    preferred_element_type=jnp.float32) - prior_grad(theta)
+        g = rxt(r) - prior_grad(theta)
         quad = jnp.sum(theta * theta, axis=1, keepdims=True)
         lp = jnp.sum(ll, axis=1, keepdims=True) - 0.5 * (
             quad if unit_prior else lam * quad

@@ -332,3 +332,43 @@ def test_fused_transition_matches_composed_step():
     np.testing.assert_allclose(np.asarray(g_f),
                                np.where(a, np.asarray(p_g), np.asarray(g)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_glm_hmc_matches_per_device_runs():
+    """shard_map'd fused path == per-device unsharded runs, bitwise.
+
+    Each mesh device runs chains [i*c:(i+1)*c] with key fold_in(k_run, i);
+    reproducing that loop on one device must give identical samples (chains
+    are independent — no collectives in the hot loop)."""
+    from jax.sharding import Mesh
+
+    from mcmc_jl_tpu.ops.glm_hmc import _run, run_glm_hmc_sharded
+
+    X, Y = _data(n=48, d=4, seed=5)
+    n_dev = 4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("chains",))
+    C, steps = 16, 30
+    key = jax.random.PRNGKey(7)
+    theta, infos = run_glm_hmc_sharded(
+        X, Y, n_chains=C, steps=steps, mesh=mesh, n_leaps=3, eps=0.1,
+        key=key, interpret=True)
+    assert theta.shape == (C, 4)
+    assert infos["plogtarget"].shape == (steps, C)
+
+    # reference: per-device loop on a single device
+    XT, Y2, d_pad = pad_design(X, Y)
+    k_init, k_run = jax.random.split(key)
+    inits = 0.1 * jax.random.normal(k_init, (C, 4), dtype=jnp.float32)
+    th0 = pad_chains(inits, d_pad)
+    c = C // n_dev
+    for i in range(n_dev):
+        ki = jax.random.fold_in(k_run, i)
+        (th_i, _, _), infos_i = _run(
+            XT, Y2, th0[i * c:(i + 1) * c], jnp.float32(0.1), ki, d=4,
+            steps=steps, n_leaps=3, block_chains=c, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(theta[i * c:(i + 1) * c]),
+            np.asarray(th_i[:, :4]))
+        np.testing.assert_array_equal(
+            np.asarray(infos["plogtarget"][:, i * c:(i + 1) * c]),
+            np.asarray(infos_i["plogtarget"]))
