@@ -62,3 +62,21 @@ if __name__ == "__main__":
     if which == "linear":
         bench(16384, 1024, jnp.float32, kind="linear")
         bench(16384, 2048, jnp.float32, kind="linear")
+    if which == "blocks":
+        # re-sweep block sizes: the round-1 sweep ran at the default 16 MiB
+        # scoped-VMEM budget; the kernel now requests 100 MiB
+        for C in (16384, 32768):
+            for blk in (512, 1024, 2048, 4096):
+                try:
+                    bench(C, blk, jnp.float32)
+                except Exception as e:
+                    print(f"C={C} blk={blk} FAILED {type(e).__name__}",
+                          flush=True)
+    if which == "bf16":
+        for blk in (1024, 2048):
+            bench(16384, blk, jnp.bfloat16)
+    if which == "diag":
+        # linear link = no transcendental in the hot loop; the gap to
+        # logistic bounds the VPU sigmoid cost per leapfrog
+        bench(16384, 1024, jnp.float32, kind="linear")
+        bench(16384, 1024, jnp.float32)

@@ -46,6 +46,26 @@ def _where(cond, a, b):
     return jnp.where(cond, a, b)
 
 
+def _pyscalar(v):
+    """float(v) for a genuine concrete scalar (Python/numpy/jnp); else None.
+
+    Used to fold distribution log-normalizers (``lgamma`` terms) to
+    compile-time Python constants: JAX stages EVERY op issued under a trace
+    — even on concrete operands — so ``jsp.gammaln(param)`` would land an
+    ``lgamma`` primitive in a Pallas kernel jaxpr, which Mosaic cannot
+    lower.  Parameters are almost always concrete scalars, where the
+    normalizer is a compile-time constant; traced/array parameters (DSL
+    latents, batched params) keep the jsp path."""
+    if isinstance(v, jax.core.Tracer):
+        return None
+    try:
+        if jnp.ndim(v) == 0:
+            return float(v)
+    except (TypeError, ValueError):
+        pass
+    return None
+
+
 def _safe(cond, x, safe_val):
     """Replace out-of-domain x by a harmless value before an unsafe op."""
     return jnp.where(cond, x, safe_val)
@@ -290,6 +310,17 @@ class Gamma(Distribution):
     scale: jnp.ndarray = 1.0
 
     def logpdf(self, x):
+        sa, ss = _pyscalar(self.shape), _pyscalar(self.scale)
+        if sa is not None and ss is not None:
+            # concrete params: the lgamma normalizer folds to a Python
+            # constant (keeps the logpdf Pallas-kernel-lowerable)
+            okc = (sa > 0) and (ss > 0)
+            a, s = (sa, ss) if okc else (1.0, 1.0)
+            inside = (x > 0) & okc
+            xs = _safe(inside, x, 1.0)
+            lp = ((a - 1.0) * jnp.log(xs) - xs / s
+                  - (math.lgamma(a) + a * math.log(s)))
+            return _where(inside, lp, -jnp.inf)
         ok = (jnp.asarray(self.shape) > 0) & (jnp.asarray(self.scale) > 0)
         a = _safe(ok, self.shape, 1.0)
         s = _safe(ok, self.scale, 1.0)
@@ -446,6 +477,17 @@ class Beta(Distribution):
     b: jnp.ndarray = 1.0
 
     def logpdf(self, x):
+        sa, sb = _pyscalar(self.a), _pyscalar(self.b)
+        if sa is not None and sb is not None:
+            # concrete params: log B(a,b) folds (Pallas-kernel-lowerable)
+            okc = (sa > 0) and (sb > 0)
+            a, b = (sa, sb) if okc else (1.0, 1.0)
+            norm = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+            inside = (x > 0) & (x < 1) & okc
+            xs = _safe(inside, x, 0.5)
+            lp = ((a - 1.0) * jnp.log(xs)
+                  + (b - 1.0) * jnp.log1p(-xs) - norm)
+            return _where(inside, lp, -jnp.inf)
         ok = (jnp.asarray(self.a) > 0) & (jnp.asarray(self.b) > 0)
         a = _safe(ok, self.a, 1.0)
         b = _safe(ok, self.b, 1.0)
@@ -520,6 +562,15 @@ class TDist(Distribution):
     df: jnp.ndarray = 1.0
 
     def logpdf(self, x):
+        sv = _pyscalar(self.df)
+        if sv is not None:
+            # concrete df: the normalizer folds (Pallas-kernel-lowerable)
+            okc = sv > 0
+            v = sv if okc else 1.0
+            norm = (math.lgamma(0.5 * (v + 1.0)) - math.lgamma(0.5 * v)
+                    - 0.5 * math.log(v * math.pi))
+            lp = norm - 0.5 * (v + 1.0) * jnp.log1p(x * x / v)
+            return _where(okc, lp, -jnp.inf)
         ok = jnp.asarray(self.df) > 0
         v = _safe(ok, self.df, 1.0)
         lp = (

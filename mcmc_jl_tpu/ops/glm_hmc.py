@@ -50,8 +50,15 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
     C, d_pad = theta0.shape
     from .pallas_glm import link_terms
     ll_fn, resid_fn = link_terms(kind)
-    # momentum mask: zero on padded lanes -> padded theta stays exactly 0
-    live = (jnp.arange(d_pad) < d).astype(theta0.dtype)[None, :]
+
+    def refresh(k):
+        # momenta live only on the d real columns (padded theta stays exactly
+        # 0 through the trajectory).  Drawing (C, d) and zero-padding costs
+        # ~d/d_pad of the threefry work of drawing the full (C, d_pad) block
+        # and masking — at the bench config that is 10/128 of ~2.1M normals
+        # per transition.
+        m = jax.random.normal(k, (C, d), dtype=theta0.dtype)
+        return jnp.pad(m, ((0, 0), (0, d_pad - d)))
 
     def logp_grad(theta):
         logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
@@ -74,7 +81,7 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         # state never round-trips HBM between refresh and accept.
         theta, lp, g = carry
         k_mom, k_acc = jax.random.split(k)
-        m0 = live * jax.random.normal(k_mom, theta.shape, dtype=theta.dtype)
+        m0 = refresh(k_mom)
         logu = jnp.log(jax.random.uniform(k_acc, (C, 1), dtype=theta.dtype))
         theta, g, lp2, acc = glm_hmc_step(
             XT, Y, theta, g, lp[:, None], m0, logu, eps, n_leaps=n_leaps,
@@ -93,7 +100,7 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         # HBM round-trip of the (C, d_pad) state per transition.
         theta, lp, g = carry
         k_mom, k_acc = jax.random.split(k)
-        m0 = live * jax.random.normal(k_mom, theta.shape, dtype=theta.dtype)
+        m0 = refresh(k_mom)
         H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
         p_theta, p_m, p_g, p_lp = glm_hmc_leapfrogs(
             XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
@@ -123,6 +130,77 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
 
 
 _STEP_PROBE_CACHE = {}
+_TRAJ_PROBE_CACHE = {}
+
+
+def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
+                                use_o=False, unit_prior=True,
+                                integrator="leapfrog"):
+    """Compile-probe the fused trajectory kernel on the current backend.
+
+    The built-in links are TPU-validated, but a custom ``(ll, resid)`` pair
+    may contain ops Mosaic cannot lower (e.g. ``erf``/``lgamma`` applied to
+    the data) — auto-routing must degrade to the generic engine instead of
+    hard-failing mid-run.  AOT ``lower().compile()``, cached per signature.
+    """
+    import jax
+
+    sig = (d_pad, N, blk, kind if isinstance(kind, str) else id(kind),
+           use_w, use_o, unit_prior, integrator, jax.default_backend())
+    hit = _TRAJ_PROBE_CACHE.get(sig)
+    if hit is not None:
+        return hit
+    f32 = jax.ShapeDtypeStruct
+    cd = f32((blk, d_pad), jnp.float32)
+    extra = []
+    if use_w:
+        extra.append(f32((1, N), jnp.float32))
+    if use_o:
+        extra.append(f32((1, N), jnp.float32))
+
+    def probe(XT, Y, th, m, g, eps, *wo):
+        kw = dict(n_leaps=2, block_chains=blk, interpret=False, kind=kind,
+                  prior_prec=1.0 if unit_prior else 0.5,
+                  integrator=integrator)
+        it = iter(wo)
+        if use_w:
+            kw["weights"] = next(it)
+        if use_o:
+            kw["offsets"] = next(it)
+        return glm_hmc_leapfrogs(XT, Y, th, m, g, eps, **kw)
+
+    try:
+        jax.jit(probe).lower(
+            f32((d_pad, N), jnp.float32), f32((1, N), jnp.float32),
+            cd, cd, cd, f32((), jnp.float32), *extra,
+        ).compile()
+        ok = True
+    except Exception as e:  # pragma: no cover - backend-specific
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fused GLM-HMC trajectory kernel failed to compile on %s (%s); "
+            "using the generic engine",
+            jax.default_backend(), type(e).__name__)
+        ok = False
+    _TRAJ_PROBE_CACHE[sig] = ok
+    return ok
+
+
+def model_kernel_supported(model, sampler, n_chains=256):
+    """True if ``model``'s GLM spec lowers through the fused trajectory
+    kernel on the current backend (used by the prun auto-routing)."""
+    from .pallas_glm import _round_up, LANE
+
+    spec = model.glm_spec
+    if spec is None:
+        return False
+    d_pad = _round_up(spec.X.shape[1], LANE)
+    return trajectory_kernel_supported(
+        d_pad, spec.X.shape[0], _pick_block(n_chains), kind=spec.kind,
+        use_w=spec.weights is not None, use_o=spec.offsets is not None,
+        unit_prior=float(spec.prior_prec) == 1.0,
+        integrator=sampler.integrator)
 
 
 def step_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
@@ -151,16 +229,28 @@ def step_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
     kwargs = dict(n_leaps=2, block_chains=blk, interpret=False,
                   kind=kind, prior_prec=1.0 if unit_prior else 0.5,
                   integrator=integrator)
+    # weights/offsets must be LOWERED ARGUMENTS, not closed-over structs:
+    # glm_hmc_step calls jnp.asarray on them, which rejects a
+    # ShapeDtypeStruct outside a trace (TypeError -> probe always False)
+    extra = []
     if use_w:
-        kwargs["weights"] = f32((1, N), jnp.float32)
+        extra.append(f32((1, N), jnp.float32))
     if use_o:
-        kwargs["offsets"] = f32((1, N), jnp.float32)
+        extra.append(f32((1, N), jnp.float32))
+
+    def probe(XT, Y, th, g, lp, m0, logu, eps, *wo):
+        kw = dict(kwargs)
+        it = iter(wo)
+        if use_w:
+            kw["weights"] = next(it)
+        if use_o:
+            kw["offsets"] = next(it)
+        return glm_hmc_step(XT, Y, th, g, lp, m0, logu, eps, **kw)
+
     try:
-        jax.jit(
-            lambda *a: glm_hmc_step(*a, **kwargs)
-        ).lower(
+        jax.jit(probe).lower(
             f32((d_pad, N), jnp.float32), f32((1, N), jnp.float32),
-            cd, cd, c1, cd, c1, f32((), jnp.float32),
+            cd, cd, c1, cd, c1, f32((), jnp.float32), *extra,
         ).compile()
         ok = True
     except Exception as e:  # pragma: no cover - backend-specific

@@ -37,7 +37,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def link_terms(kind):
+def link_terms(kind, kernel=False):
     """Per-observation log-lik and residual factor for supported GLM links.
 
     ``ll(z, y)`` is the elementwise log-likelihood of linear predictor z;
@@ -47,6 +47,11 @@ def link_terms(kind):
     elementwise callables for custom likelihoods (they run inside the fused
     kernel, so any family whose log-lik is elementwise in the linear
     predictor gets the speed-of-light path).
+
+    ``kernel=True`` (set by the Pallas kernels) swaps any special function
+    Mosaic cannot lower for the kernel-safe equivalents in
+    :mod:`mcmc_jl_tpu.ops.special` (probit: ``log_ndtr`` without ``erf``,
+    abs err < 4e-6); XLA callers keep the exact jax.scipy versions.
     """
     if isinstance(kind, tuple):
         ll_fn, resid_fn = kind
@@ -70,13 +75,18 @@ def link_terms(kind):
             lambda z, y: y - jnp.exp(z),
         )
     if kind == "probit":
+        if kernel:
+            from .special import log_ndtr
+        else:
+            log_ndtr = jsp_log_ndtr
+
         def _ll(z, y):
-            return y * jsp_log_ndtr(z) + (1.0 - y) * jsp_log_ndtr(-z)
+            return y * log_ndtr(z) + (1.0 - y) * log_ndtr(-z)
 
         def _resid(z, y):
             log_phi = -0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi)
-            w_pos = jnp.exp(log_phi - jsp_log_ndtr(z))
-            w_neg = jnp.exp(log_phi - jsp_log_ndtr(-z))
+            w_pos = jnp.exp(log_phi - log_ndtr(z))
+            w_neg = jnp.exp(log_phi - log_ndtr(-z))
             return y * w_pos - (1.0 - y) * w_neg
 
         return _ll, _resid
@@ -101,7 +111,7 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
     y = y_ref[:]              # (1, N)
     w = w_ref[:] if use_w else None   # (1, N) per-observation weights
     o = o_ref[:] if use_o else None   # (1, N) linear-predictor offsets
-    ll_fn, resid_fn = link_terms(kind)
+    ll_fn, resid_fn = link_terms(kind, kernel=True)
 
     def predictor(theta):
         z = jnp.dot(theta.astype(mxu_dtype), xt,

@@ -1,0 +1,253 @@
+"""Pallas fused multi-leapfrog HMC for ARBITRARY jax-expressible targets.
+
+The GLM kernel (:mod:`.pallas_glm`) covers posteriors whose log-lik is
+elementwise in a linear predictor.  This module generalizes the fused
+trajectory to ANY log-density that is a pure jnp function of the parameter
+block: the user supplies ``logp_block`` mapping a ``(blk, d_pad)`` chain
+block to per-chain log-densities ``(blk, 1)``, and the kernel differentiates
+it IN-KERNEL with ``jax.grad`` at trace time — positions, momenta and
+gradients stay in VMEM across the whole ``n_leaps`` trajectory, exactly like
+the GLM kernel's hot loop.  (Reference hot path: src/samplers/HMC.jl:93-102
+x model.evalallg — SURVEY §3.2; this extends the speed-of-light path from
+GLM posteriors to the reference's whole bare-distribution benchmark family,
+benchmarks/benchunits/bare_distribs.jl.)
+
+Contract for ``logp_block``:
+  * pure jnp ops only (it is traced inside the kernel; Mosaic must lower it);
+  * no captured array constants — Pallas rejects them; bake parameters as
+    Python scalars, or synthesize index-dependent masks/values with
+    ``jax.lax.broadcasted_iota`` (see :func:`coordwise_logp`).  Targets that
+    need real data arrays belong on the GLM kernel (:mod:`.pallas_glm`);
+  * padded lanes (columns >= d) hold zeros and MUST contribute zero to both
+    the value and the gradient — :func:`coordwise_logp` builds a compliant
+    block function from a per-coordinate logpdf, masking padded lanes with an
+    in-support ``safe`` value before evaluation (the double-where pattern, so
+    gradients stay finite even when ``logpdf(0) = -inf``).
+
+Momenta are refreshed on live columns only and padded with zeros, so padded
+coordinates stay exactly zero through the trajectory.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_glm import LANE, _round_up, _trajectory, pad_chains
+
+
+def coordwise_logp(logpdf, d, d_pad=None, safe=0.5):
+    """Build a kernel-safe ``logp_block`` from a per-coordinate logpdf.
+
+    ``logpdf`` is an elementwise jnp callable (e.g. the catalog logpdfs in
+    :mod:`mcmc_jl_tpu.models.distributions` with parameters bound);
+    ``safe`` must be an in-support scalar — padded lanes are evaluated there
+    (then masked to zero) so out-of-support ``-inf``/``nan`` at the padded
+    zeros can never poison the value or the gradient.
+    """
+    del d_pad  # shape comes from the block; kept for call-site clarity
+
+    def logp_block(theta):
+        # the live-lane mask is generated IN-KERNEL via iota: Pallas rejects
+        # kernels that capture array constants (they would need to be routed
+        # as VMEM inputs), but iota is materialized by Mosaic directly
+        live = jax.lax.broadcasted_iota(jnp.int32, theta.shape, 1) < d
+        x = jnp.where(live, theta, jnp.asarray(safe, theta.dtype))
+        contrib = jnp.where(live, logpdf(x), 0.0)
+        return jnp.sum(contrib, axis=1, keepdims=True)
+
+    return logp_block
+
+
+def _kernel(eps_ref, theta_ref, m_ref, grad_ref,
+            theta_out, m_out, grad_out, lp_out, *,
+            logp_block, n_leaps, integrator):
+    """One fused HMC trajectory for a block of chains on a custom target."""
+    eps = eps_ref[0, 0]
+    grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
+
+    theta, m, g = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
+                              grad_only, n_leaps=n_leaps,
+                              integrator=integrator)
+    lp = logp_block(theta)
+    g = grad_only(theta)
+
+    theta_out[:] = theta
+    m_out[:] = m
+    grad_out[:] = g
+    # per-chain scalars ride lane-broadcast (blk, LANE) blocks — Mosaic
+    # cannot tile (blk, 1) VMEM blocks (pallas_glm round-1 lesson)
+    lp_out[:] = jnp.broadcast_to(lp, lp_out.shape)
+
+
+def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
+                           block_chains=256, interpret=False,
+                           integrator="leapfrog"):
+    """Run ``n_leaps`` fused integrator steps of all chains on a custom
+    target.
+
+    Args:
+      logp_block: ``(blk, d_pad) -> (blk, 1)`` pure-jnp log-density (see
+        module docstring for the padded-lane contract).  Pass a *stable*
+        function object — it keys the compile cache.
+      theta, m, grad: (C, d_pad) lane-padded chain state (padded cols zero).
+      eps: scalar step size.
+    Returns (theta, m, grad, logp) with logp shape (C,).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, d_pad = theta.shape
+    assert d_pad % LANE == 0, f"d_pad ({d_pad}) must be lane-padded ({LANE})"
+    blk = min(block_chains, C)
+    assert C % blk == 0, \
+        f"block_chains ({blk}) must evenly divide the chain count ({C})"
+    eps2 = jnp.reshape(jnp.float32(eps), (1, 1))
+
+    grid = (C // blk,)
+    chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, logp_block=logp_block, n_leaps=n_leaps,
+                          integrator=integrator),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid=grid,
+        in_specs=[smem_spec, chain_spec, chain_spec, chain_spec],
+        out_specs=[chain_spec, chain_spec, chain_spec,
+                   pl.BlockSpec((blk, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
+            jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
+            jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
+            jax.ShapeDtypeStruct((C, LANE), theta.dtype),
+        ],
+        interpret=interpret,
+    )(eps2, theta, m, grad)
+    theta, m, grad, lp = out
+    return theta, m, grad, lp[:, 0]
+
+
+_TARGET_PROBE_CACHE = {}
+
+
+def target_kernel_supported(logp_block, d_pad, blk=128,
+                            integrator="leapfrog"):
+    """Compile-probe the fused custom-target kernel on the current backend.
+
+    A user ``logp_block`` may contain ops Mosaic cannot lower; routing must
+    degrade to the generic XLA path instead of hard-failing a production run
+    (the round-1 GLM step-kernel lesson).  AOT ``lower().compile()`` on
+    abstract avals, cached per (function, shape) signature.
+    """
+    sig = (logp_block, d_pad, blk, integrator, jax.default_backend())
+    hit = _TARGET_PROBE_CACHE.get(sig)
+    if hit is not None:
+        return hit
+    f32 = jax.ShapeDtypeStruct
+    cd = f32((blk, d_pad), jnp.float32)
+    try:
+        jax.jit(
+            lambda *a: fused_target_leapfrogs(
+                logp_block, *a, n_leaps=2, block_chains=blk,
+                integrator=integrator)
+        ).lower(cd, cd, cd, f32((), jnp.float32)).compile()
+        ok = True
+    except Exception as e:  # pragma: no cover - backend-specific
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fused custom-target kernel failed to compile on %s (%s); "
+            "using the generic XLA path",
+            jax.default_backend(), type(e).__name__)
+        ok = False
+    _TARGET_PROBE_CACHE[sig] = ok
+    return ok
+
+
+@functools.partial(jax.jit, static_argnames=("logp_block", "d", "steps",
+                                             "n_leaps", "block_chains",
+                                             "interpret", "integrator",
+                                             "collect"))
+def _run(logp_block, theta0, eps, key, *, d, steps, n_leaps, block_chains,
+         interpret, integrator="leapfrog", collect=False):
+    """Scan ``steps`` fused-HMC transitions on a custom target.
+
+    Trajectory in the kernel, momentum refresh + Metropolis accept in XLA
+    (the composed structure measured fastest for the GLM kernel).  Same
+    accept rule incl. NaN-reject as the generic engine (samplers/hmc.py)."""
+    C, d_pad = theta0.shape
+
+    def refresh(k):
+        m = jax.random.normal(k, (C, d), dtype=theta0.dtype)
+        return jnp.pad(m, ((0, 0), (0, d_pad - d)))
+
+    grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
+    lp0 = logp_block(theta0)[:, 0]
+    g0 = grad_only(theta0)
+
+    def step(carry, k):
+        theta, lp, g = carry
+        k_mom, k_acc = jax.random.split(k)
+        m0 = refresh(k_mom)
+        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
+        p_theta, p_m, p_g, p_lp = fused_target_leapfrogs(
+            logp_block, theta, m0, g, eps, n_leaps=n_leaps,
+            block_chains=block_chains, interpret=interpret,
+            integrator=integrator,
+        )
+        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
+        ratio = H0 - H
+        logu = jnp.log(jax.random.uniform(k_acc, (C,), dtype=theta.dtype))
+        accept = jnp.where(jnp.isnan(ratio), False,
+                           (ratio > 0) | (ratio > logu))
+        a = accept[:, None]
+        theta = jnp.where(a, p_theta, theta)
+        g = jnp.where(a, p_g, g)
+        lp = jnp.where(accept, p_lp, lp)
+        info = {"plogtarget": lp, "accept": accept}
+        if collect:
+            info.update({"ppars": theta, "pgrads": g})
+        return (theta, lp, g), info
+
+    keys = jax.random.split(key, steps)
+    (theta, lp, g), infos = jax.lax.scan(step, (theta0, lp0, g0), keys)
+    return (theta, lp, g), infos
+
+
+def run_target_hmc(logp_block, d, n_chains, steps, n_leaps=10, eps=0.1,
+                   seed=0, key=None, inits=None, block_chains=256,
+                   interpret=False, integrator="leapfrog", collect=False):
+    """Sample a custom target with the fused Pallas HMC path.
+
+    ``logp_block`` per the module contract (use :func:`coordwise_logp` for
+    iid-coordinate targets).  Returns (theta (C, d), infos) like
+    :func:`mcmc_jl_tpu.ops.glm_hmc.run_glm_hmc`.
+    """
+    d_pad = _round_up(d, LANE)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    if inits is None:
+        inits = 0.1 * jax.random.normal(k_init, (n_chains, d),
+                                        dtype=jnp.float32)
+    theta0 = pad_chains(jnp.asarray(inits, dtype=jnp.float32), d_pad)
+    block = min(block_chains, n_chains)
+    if n_chains % block != 0:
+        from .glm_hmc import _pick_block
+
+        block = _pick_block(n_chains)
+    (theta, _, _), infos = _run(
+        logp_block, theta0, jnp.float32(eps), k_run, d=d, steps=steps,
+        n_leaps=n_leaps, block_chains=block, interpret=interpret,
+        integrator=integrator, collect=collect,
+    )
+    if collect:
+        infos = {k: (v[..., :d] if v.ndim == 3 else v)
+                 for k, v in infos.items()}
+    return theta[:, :d], infos

@@ -202,6 +202,13 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                     and not jax.config.jax_enable_x64)
             )
         )
+        if use_fused and fused == "auto" and jax.default_backend() == "tpu":
+            # compile-probe before committing: a custom (ll, resid) link may
+            # contain ops Mosaic cannot lower — degrade to the generic
+            # engine, never hard-fail a production run (round-1 lesson)
+            from ..ops.glm_hmc import model_kernel_supported
+
+            use_fused = model_kernel_supported(t.model, t.sampler, n)
         if use_fused and fused == "auto":
             import logging
 

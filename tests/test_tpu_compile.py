@@ -40,6 +40,16 @@ cd = f32((128, LANE), jnp.float32)
 jax.jit(lambda *a: glm_hmc_leapfrogs(*a, n_leaps=2, block_chains=128)).lower(
     f32((LANE, 1000), jnp.float32), f32((1, 1000), jnp.float32),
     cd, cd, cd, f32((), jnp.float32)).compile()
+
+# custom-target kernel: coordwise catalog target (iota mask + double-where
+# support masking + in-kernel jax.grad) through the production probe
+from mcmc_jl_tpu.ops.pallas_target import coordwise_logp, target_kernel_supported
+from mcmc_jl_tpu.models.distributions import Gamma
+blockfn = coordwise_logp(lambda x: Gamma(2.0, 1.5).logpdf(x), 4, safe=1.0)
+assert target_kernel_supported(blockfn, LANE, 128), \
+    "fused custom-target kernel failed Mosaic"
+assert target_kernel_supported(blockfn, LANE, 128, integrator="2stage"), \
+    "fused custom-target 2stage kernel failed Mosaic"
 print("OK")
 """
 
