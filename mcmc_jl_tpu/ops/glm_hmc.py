@@ -413,6 +413,30 @@ def run_glm_hmc_sharded(X, Y, n_chains, steps, mesh=None, axis="chains",
     return theta[:, :d], infos
 
 
+def final_hmc_states(model, sampler, n_chains, steps_done, thetaF, lpF, gF):
+    """Batched HMCState for resume after a fused-kernel run (f32 kernel
+    outputs re-evaluated at model precision so the generic path composes)."""
+    from ..samplers.base import tuner_init
+    from ..samplers.hmc import HMCState
+    from ..samplers.massadapt import mass_init
+
+    d = model.size
+    mdt = model.init.dtype
+    bcast = lambda a: jnp.broadcast_to(a, (n_chains,) + a.shape)  # noqa: E731
+    tune = jax.tree_util.tree_map(bcast, tuner_init(sampler.leap_step,
+                                                    sampler.n_leaps))
+    mass = jax.tree_util.tree_map(bcast, mass_init(None, d, mdt))
+    states = HMCState(
+        pars=thetaF[:, :d].astype(mdt), logtarget=lpF.astype(mdt),
+        grad=gF[:, :d].astype(mdt), tune=tune,
+        i=jnp.full((n_chains,), steps_done + 1, jnp.int32), mass=mass,
+    )
+    # refresh logp/grad at model precision (f64 on CPU) for exact resume
+    return jax.vmap(lambda s, th: sampler.reset(model, s, th))(
+        states, states.pars
+    )
+
+
 def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None,
                      fused_step="auto"):
     """Run ``n_chains`` plain-HMC chains on a ``model(glm=...)`` posterior
@@ -420,9 +444,6 @@ def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None,
     protocol-compatible with :func:`mcmc_jl_tpu.parallel.run_chains`
     (f32 compute; post-accept keys only — the pre-step duplicates the
     generic engine also emits are dropped before they ever hit HBM)."""
-    from ..samplers.base import tuner_init
-    from ..samplers.hmc import HMCState
-    from ..samplers.massadapt import mass_init
     from .pallas_glm import pad_chains, pad_design
 
     spec = model.glm_spec
@@ -451,20 +472,6 @@ def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None,
                                       O, lam, sampler.integrator, interpret),
     )
     infos = {k: (v[..., :d] if v.ndim == 3 else v) for k, v in infos.items()}
-
-    # final states in the model's dtype so generic-path resume composes
-    mdt = model.init.dtype
-    bcast = lambda a: jnp.broadcast_to(a, (n_chains,) + a.shape)  # noqa: E731
-    tune = jax.tree_util.tree_map(bcast, tuner_init(sampler.leap_step,
-                                                    sampler.n_leaps))
-    mass = jax.tree_util.tree_map(bcast, mass_init(None, d, mdt))
-    states = HMCState(
-        pars=thetaF[:, :d].astype(mdt), logtarget=lpF.astype(mdt),
-        grad=gF[:, :d].astype(mdt), tune=tune,
-        i=jnp.full((n_chains,), runner.len + 1, jnp.int32), mass=mass,
-    )
-    # refresh logp/grad at model precision (f64 on CPU) for exact resume
-    states = jax.vmap(lambda s, th: sampler.reset(model, s, th))(
-        states, states.pars
-    )
+    states = final_hmc_states(model, sampler, n_chains, runner.len,
+                              thetaF, lpF, gF)
     return infos, states

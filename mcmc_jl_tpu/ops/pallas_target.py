@@ -220,6 +220,60 @@ def _run(logp_block, theta0, eps, key, *, d, steps, n_leaps, block_chains,
     return (theta, lp, g), infos
 
 
+@functools.lru_cache(maxsize=128)
+def _model_block_cached(ev, d):
+    def logp_block(theta):
+        lp = jax.vmap(lambda row: ev(row[:d].astype(jnp.float32)))(theta)
+        return jnp.reshape(lp, (theta.shape[0], 1)).astype(theta.dtype)
+
+    return logp_block
+
+
+def model_block_fn(model):
+    """Kernel-safe ``logp_block`` from a model's ``eval`` via in-kernel vmap.
+
+    Rows are sliced to the model's live ``d`` columns before ``eval`` sees
+    them, so padded lanes contribute nothing to value or gradient.  Works
+    for any data-free model whose ``eval`` Mosaic can lower (DSL-built
+    catalog targets, custom closures over scalars); models that close over
+    data arrays are rejected by Pallas (captured array constants) and the
+    compile probe routes them back to the generic engine.
+
+    Cached on ``(model.eval, model.size)`` so repeated runs of the same
+    model return the SAME function object — the compile-probe and jit caches
+    key on it.
+    """
+    return _model_block_cached(model.eval, model.size)
+
+
+def fused_target_chains(model, sampler, runner, n_chains, key,
+                        interpret=None):
+    """Run ``n_chains`` plain-HMC chains on an arbitrary (data-free) model
+    through the fused custom-target kernel; protocol-compatible with
+    :func:`mcmc_jl_tpu.ops.glm_hmc.fused_hmc_chains` (f32 compute,
+    post-accept info keys, exact-resume final states)."""
+    from .glm_hmc import final_hmc_states
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = model.size
+    logp_block = model_block_fn(model)
+    inits = jnp.broadcast_to(jnp.asarray(model.init, jnp.float32),
+                             (n_chains, d))
+    theta, infos = run_target_hmc(
+        logp_block, d, n_chains, runner.len, n_leaps=sampler.n_leaps,
+        eps=sampler.leap_step, key=key, inits=inits, interpret=interpret,
+        integrator=sampler.integrator, collect=True)
+    # recompute final lp/grad shape inputs for the resume states
+    d_pad = _round_up(d, LANE)
+    thetaF = pad_chains(jnp.asarray(theta, jnp.float32), d_pad)
+    lpF = infos["plogtarget"][-1]
+    gF = pad_chains(infos["pgrads"][-1].astype(jnp.float32), d_pad)
+    states = final_hmc_states(model, sampler, n_chains, runner.len,
+                              thetaF, lpF, gF)
+    return infos, states
+
+
 def run_target_hmc(logp_block, d, n_chains, steps, n_leaps=10, eps=0.1,
                    seed=0, key=None, inits=None, block_chains=256,
                    interpret=False, integrator="leapfrog", collect=False):

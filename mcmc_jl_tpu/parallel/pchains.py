@@ -152,21 +152,37 @@ def run_chains(model, sampler, runner, n_chains, key=None, seed: int = 0,
     return infos, final_states, key
 
 
-def _fused_eligible(task):
-    """Plain fixed-step HMC on a model(glm=...) posterior can route to the
-    fused Pallas trajectory kernel (ops/glm_hmc.py)."""
+def _plain_hmc(task):
     from ..samplers.hmc import HMC
 
     s = task.sampler
     return (
-        getattr(task.model, "glm_spec", None) is not None
-        and type(s) is HMC
+        type(s) is HMC
         and s.tuner is None
         and not s.store_leaps
         and s._kind is None
-        # the kernel implements the whole integrator family; anything else
+        # the kernels implement the whole integrator family; anything else
         # must fall back to the generic engine rather than silently leapfrog
         and s.integrator in ("leapfrog", "2stage", "3stage")
+    )
+
+
+def _fused_eligible(task):
+    """Plain fixed-step HMC on a model(glm=...) posterior can route to the
+    fused Pallas trajectory kernel (ops/glm_hmc.py)."""
+    return getattr(task.model, "glm_spec", None) is not None \
+        and _plain_hmc(task)
+
+
+def _target_eligible(task):
+    """Plain fixed-step HMC on a non-GLM model can route to the fused
+    custom-target kernel (ops/pallas_target.py) IF the model's eval lowers
+    through Mosaic — always compile-probed before committing (a model that
+    closes over data arrays, or uses unlowerable ops, probes False)."""
+    return (
+        getattr(task.model, "glm_spec", None) is None
+        and _plain_hmc(task)
+        and task.model.size <= 1024  # VMEM: 6 blocks x blk x d_pad x f32
     )
 
 
@@ -209,18 +225,41 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
             from ..ops.glm_hmc import model_kernel_supported
 
             use_fused = model_kernel_supported(t.model, t.sampler, n)
-        if use_fused and fused == "auto":
+        # non-GLM models: plain HMC can still fuse through the custom-target
+        # kernel if the model's eval lowers through Mosaic (probe-guarded)
+        use_target = False
+        if not use_fused and fused is not False and _target_eligible(t):
+            if fused is True:
+                use_target = True  # forced (interpret mode on CPU, tests)
+            elif (fused == "auto" and jax.default_backend() == "tpu"
+                  and not jax.config.jax_enable_x64):
+                from ..ops.glm_hmc import _pick_block
+                from ..ops.pallas_glm import LANE, _round_up
+                from ..ops.pallas_target import (model_block_fn,
+                                                 target_kernel_supported)
+
+                use_target = target_kernel_supported(
+                    model_block_fn(t.model), _round_up(t.model.size, LANE),
+                    _pick_block(n), integrator=t.sampler.integrator)
+        if (use_fused or use_target) and fused == "auto":
             import logging
 
             logging.getLogger(__name__).info(
-                "prun: routing %d plain-HMC chains on a GLM posterior to the "
-                "fused Pallas kernel (f32); pass fused=False for the generic "
-                "engine", n,
+                "prun: routing %d plain-HMC chains to the fused Pallas "
+                "%s kernel (f32); pass fused=False for the generic engine",
+                n, "GLM" if use_fused else "custom-target",
             )
         if use_fused:
             from ..ops.glm_hmc import fused_hmc_chains
 
             infos, final_states = fused_hmc_chains(
+                t.model, t.sampler, t.runner, n,
+                key=jax.random.fold_in(key, gi),
+            )
+        elif use_target:
+            from ..ops.pallas_target import fused_target_chains
+
+            infos, final_states = fused_target_chains(
                 t.model, t.sampler, t.runner, n,
                 key=jax.random.fold_in(key, gi),
             )
