@@ -81,4 +81,24 @@ def run():
         rg = Cg * steps * n_leaps / float(np.median(ts))
         out.append((f"generic HMC {name} d={d}: leapfrog/s", rg / 1e6,
                     "M/s"))
+
+    # fused multi-step RWM (hardware PRNG on TPU; the reference's
+    # "100 RWM steps" workload, benchunits/binomial.jl:25 analog)
+    from mcmc_jl_tpu.ops.pallas_rwm import run_target_rwm
+
+    Cr, steps_r, thin = (16384, 10000, 100) if on_tpu else (64, 60, 10)
+    dist0, x0 = cases[0][1], cases[0][2]
+    blockfn = coordwise_logp(lambda x, dd=dist0: dd.logpdf(x), d,
+                             safe=x0 + 0.5)
+
+    def gr(key):
+        th, infos = run_target_rwm(
+            blockfn, d, Cr, steps_r, scale=1.1, thin=thin, key=key,
+            block_chains=1024 if on_tpu else 64,
+            interpret=not on_tpu)
+        return jnp.mean(th), jnp.mean(infos["accept_rate"])
+
+    rr = _rate(gr, Cr, steps_r, 1)
+    out.append((f"fused RWM {cases[0][0]} d={d} (thin={thin}): "
+                "transitions/s", rr / 1e6, "M/s"))
     return out

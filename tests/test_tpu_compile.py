@@ -50,6 +50,15 @@ assert target_kernel_supported(blockfn, LANE, 128), \
     "fused custom-target kernel failed Mosaic"
 assert target_kernel_supported(blockfn, LANE, 128, integrator="2stage"), \
     "fused custom-target 2stage kernel failed Mosaic"
+
+# fused RWM kernel, hardware-PRNG mode (prng_seed/prng_random_bits +
+# Box-Muller must all lower)
+from mcmc_jl_tpu.ops.pallas_rwm import fused_target_rwm_steps
+jax.jit(lambda th, sc, seeds: fused_target_rwm_steps(
+    blockfn, th, sc, k_steps=3, seeds=seeds, block_chains=128,
+    noise="hw")).lower(
+    f32((128, LANE), jnp.float32), f32((1, LANE), jnp.float32),
+    jax.ShapeDtypeStruct((1,), jnp.int32)).compile()
 print("OK")
 """
 
