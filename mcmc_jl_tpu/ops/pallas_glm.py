@@ -157,24 +157,39 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
     return grad_only, logp_grad
 
 
-def _trajectory(theta, m, g, eps, grad_only, *, n_leaps, integrator):
+def _trajectory(theta, m, g, eps, grad_only, logp_grad, *, n_leaps,
+                integrator):
     """n_leaps macro steps of the trace-time integrator body generated from
     the shared kick/drift schedule (samplers/integrators.py SCHEDULES — the
     single source of truth for the scheme coefficients): per macro step,
-    leapfrog costs 1 grad matmul pair, 2stage 2, 3stage 3."""
-    schedule = SCHEDULES[integrator]
+    leapfrog costs 1 grad matmul pair, 2stage 2, 3stage 3.
 
-    def body(_, carry):
-        theta, m, g = carry
-        for op, c in schedule:
+    The final macro step is peeled out of the loop and its last drift uses
+    ``logp_grad`` instead of ``grad_only``, so the trajectory-end log-target
+    comes out of the SAME forward pass as the last gradient — a separate
+    end-of-trajectory ``logp_grad`` call would spend one extra
+    forward+backward matmul pair per trajectory (~9% of the whole kernel at
+    n_leaps=10).  Returns (theta, m, g, lp)."""
+    schedule = SCHEDULES[integrator]
+    last_d = max(i for i, (op, _) in enumerate(schedule) if op == "A")
+
+    def macro(theta, m, g, final):
+        lp = None
+        for j, (op, c) in enumerate(schedule):
             if op == "B":
                 m = m + c * eps * g
             else:
                 theta = theta + c * eps * m
-                g = grad_only(theta)
-        return theta, m, g
+                if final and j == last_d:
+                    lp, g = logp_grad(theta)
+                else:
+                    g = grad_only(theta)
+        return theta, m, g, lp
 
-    return jax.lax.fori_loop(0, n_leaps, body, (theta, m, g))
+    theta, m, g = jax.lax.fori_loop(
+        0, n_leaps - 1,
+        lambda _, c: macro(*c, False)[:3], (theta, m, g))
+    return macro(theta, m, g, True)
 
 
 def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
@@ -193,10 +208,9 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
         use_w=use_w, use_o=use_o, unit_prior=unit_prior)
 
-    theta, m, g = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
-                              grad_only, n_leaps=n_leaps,
-                              integrator=integrator)
-    lp, g = logp_grad(theta)
+    theta, m, g, lp = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
+                                  grad_only, logp_grad, n_leaps=n_leaps,
+                                  integrator=integrator)
 
     theta_out[:] = theta
     m_out[:] = m
@@ -235,9 +249,8 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     m0 = m0_ref[:]                     # pre-masked: zero on padded lanes
     h0 = -lp0 + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
 
-    theta, m, g = _trajectory(th0, m0, g0, eps, grad_only,
-                              n_leaps=n_leaps, integrator=integrator)
-    lp, g = logp_grad(theta)
+    theta, m, g, lp = _trajectory(th0, m0, g0, eps, grad_only, logp_grad,
+                                  n_leaps=n_leaps, integrator=integrator)
     h = -lp + 0.5 * jnp.sum(m * m, axis=1, keepdims=True)
     ratio = h0 - h
     # reference accept rule incl. NaN-reject (glm_hmc.py parity).  NaN is

@@ -67,11 +67,15 @@ def _kernel(eps_ref, theta_ref, m_ref, grad_ref,
     eps = eps_ref[0, 0]
     grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
 
-    theta, m, g = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
-                              grad_only, n_leaps=n_leaps,
-                              integrator=integrator)
-    lp = logp_block(theta)
-    g = grad_only(theta)
+    def logp_grad(th):
+        # one forward + one backward pass for per-chain values AND gradient
+        lp, vjp = jax.vjp(logp_block, th)
+        (g,) = vjp(jnp.ones_like(lp))
+        return lp, g
+
+    theta, m, g, lp = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
+                                  grad_only, logp_grad, n_leaps=n_leaps,
+                                  integrator=integrator)
 
     theta_out[:] = theta
     m_out[:] = m
