@@ -17,7 +17,7 @@ Quick start (reference README Example 1)::
     mc.acceptance(chain); mc.describe(chain)
 """
 from .models.model import model, LogDensityModel
-from .models.dsl import tilde, observe
+from .models.dsl import tilde, observe, acc, factor
 from .models import distributions
 from .models.distributions import (
     Normal, Uniform, Weibull, Gamma, Cauchy, LogNormal, Binomial, Beta,
@@ -36,6 +36,7 @@ from .runners.ptmc import PTMC
 from .runners.aies import AIES
 from .runners.asmc import ASMC
 from .runners.api import run, resume, prun
+from .runners.convergence import ConvergenceResult, run_until
 from .stats import (
     mean, mean_rb, mcvar, mcse, var, std, ess, actime, acceptance, describe,
     wsample, linear_zv, quadratic_zv, linearZv, quadraticZv,
@@ -51,6 +52,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "model", "LogDensityModel", "MCMCLikModel", "tilde", "observe",
+    "acc", "factor", "run_until", "ConvergenceResult",
     "distributions",
     "Normal", "Uniform", "Weibull", "Gamma", "Cauchy", "LogNormal",
     "Binomial", "Beta", "Laplace", "Bernoulli", "TDist", "Exponential",

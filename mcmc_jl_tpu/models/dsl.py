@@ -82,6 +82,29 @@ def tilde(x, d: Distribution):
 observe = tilde
 
 
+def acc(term):
+    """``__acc += term``: add a raw log-density increment (summed over
+    arrays) to the active trace.
+
+    Direct parity with the reference accumulator's Real/Array ``+``
+    overloads (AccumulatorDerivRules.jl:19-20) — the idiom for Jacobian
+    corrections of reparameterized variables (e.g. sampling ``log_tau``
+    with a prior on ``tau``) and for hand-written likelihood terms
+    (Stan's ``target +=``).
+    """
+    if not getattr(_STATE, "stack", None):
+        raise RuntimeError(
+            "acc()/factor() called outside a model trace; statements using "
+            "~ semantics must run inside a function passed to model(...)"
+        )
+    _STATE.stack[-1].append(jnp.sum(jnp.asarray(term)))
+    return term
+
+
+# numpyro-style alias
+factor = acc
+
+
 def call_with_trace(fn, kwargs):
     """Run ``fn(**kwargs)`` under a fresh accumulator; return total log-lik.
 

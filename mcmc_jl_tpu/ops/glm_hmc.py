@@ -129,6 +129,86 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
     return (theta, lp, g), infos
 
 
+@partial(jax.jit, static_argnames=("d", "n_launches", "k_trans", "n_leaps",
+                                   "block_chains", "mxu_dtype", "kind",
+                                   "lam", "integrator", "collect"))
+def _run_multistep(XT, Y, theta0, eps, key, *, d, n_launches, k_trans,
+                   n_leaps, block_chains, mxu_dtype=jnp.float32,
+                   kind="logistic", W=None, O=None, lam=1.0,
+                   integrator="leapfrog", collect=False):
+    """Scan ``n_launches`` multi-transition kernel launches (TPU only).
+
+    Each launch runs ``k_trans`` full HMC transitions with refresh noise and
+    Metropolis uniforms drawn from the in-kernel hardware PRNG
+    (pallas_glm._multistep_kernel) — infos carry one thinned row per launch:
+    ``plogtarget``/``accept_rate`` (+``ppars``/``pgrads`` with collect)."""
+    from .pallas_glm import _multistep_inner
+
+    C = theta0.shape[0]
+    n_blocks = C // min(block_chains, C)
+
+    def launch(theta, k):
+        seeds = jax.random.randint(k, (n_blocks,), 0, np.int32(2**31 - 1),
+                                   dtype=jnp.int32)
+        theta, g, lp, acc = _multistep_inner(
+            XT, Y, theta, seeds, eps, d=d, n_leaps=n_leaps, k_trans=k_trans,
+            block_chains=block_chains, mxu_dtype=mxu_dtype, kind=kind,
+            weights=W, offsets=O, prior_prec=lam,
+            _use_w=W is not None, _use_o=O is not None,
+            _unit_prior=isinstance(lam, (int, float)) and float(lam) == 1.0,
+            integrator=integrator)
+        info = {"plogtarget": lp, "accept_rate": acc}
+        if collect:
+            info.update({"ppars": theta, "pgrads": g})
+        return theta, info
+
+    keys = jax.random.split(key, n_launches)
+    return jax.lax.scan(launch, theta0, keys)
+
+
+def run_glm_hmc_multistep(X, Y, n_chains, steps, thin=10, n_leaps=10,
+                          eps=0.05, seed=0, key=None, inits=None,
+                          block_chains=256, mxu_dtype=jnp.float32,
+                          kind="logistic", weights=None, offsets=None,
+                          prior_prec=1.0, integrator="leapfrog",
+                          collect=False):
+    """Sample a GLM posterior with the multi-transition in-kernel-PRNG path.
+
+    ``steps`` transitions run as ``steps // thin`` launches of ``thin``
+    in-kernel transitions; infos carry one row per launch (thinned chain).
+    TPU-only: the hardware PRNG has no CPU lowering — use
+    :func:`run_glm_hmc` elsewhere.  Statistically identical to
+    ``run_glm_hmc`` (same trajectory/accept math; different PRNG stream).
+    """
+    assert steps % thin == 0, "steps must be divisible by thin"
+    XT, Y2, d_pad = pad_design(X, Y)
+    N = XT.shape[1]
+    d = X.shape[1]
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    if inits is None:
+        inits = 0.1 * jax.random.normal(k_init, (n_chains, d),
+                                        dtype=jnp.float32)
+    theta0 = pad_chains(jnp.asarray(inits, dtype=jnp.float32), d_pad)
+    block = min(block_chains, n_chains)
+    if n_chains % block != 0:
+        block = _pick_block(n_chains)
+    W = (None if weights is None
+         else jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
+    O = (None if offsets is None
+         else jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
+    theta, infos = _run_multistep(
+        XT, Y2, theta0, jnp.float32(eps), k_run, d=d,
+        n_launches=steps // thin, k_trans=thin, n_leaps=n_leaps,
+        block_chains=block, mxu_dtype=mxu_dtype, kind=kind, W=W, O=O,
+        lam=float(prior_prec), integrator=integrator, collect=collect)
+    if collect:
+        infos = {k: (v[..., :d] if v.ndim == 3 else v)
+                 for k, v in infos.items()}
+    return theta[:, :d], infos
+
+
 _STEP_PROBE_CACHE = {}
 _TRAJ_PROBE_CACHE = {}
 

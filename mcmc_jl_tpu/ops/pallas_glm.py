@@ -268,6 +268,139 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     acc_out[:] = accl.astype(jnp.float32)
 
 
+def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
+                      use_o, unit_prior, integrator="leapfrog"):
+    """``k_trans`` FULL HMC transitions for a block of chains in ONE kernel
+    launch: momentum refresh (Box-Muller on the hardware PRNG) + whole
+    trajectory + Metropolis accept, all VMEM-resident.  Between launches
+    only (theta, grad, lp, accept-count) touch HBM — per transition the
+    only cost is the trajectory matmuls themselves.  (The single-transition
+    kernels pay per-step XLA refresh/select work and a state round-trip;
+    measured ~8% of the headline config.)"""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pallas_rwm import _normal_hw, _uniform
+
+    it = iter(refs)
+    seed_ref, eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(5))
+    w_ref = next(it) if use_w else None
+    o_ref = next(it) if use_o else None
+    theta_ref = next(it)
+    theta_out, grad_out, lp_out, acc_out = list(it)
+
+    pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
+    eps = eps_ref[0, 0]
+    lam = lam_ref[0, 0]
+    grad_only, logp_grad = _glm_funcs(
+        xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
+        use_w=use_w, use_o=use_o, unit_prior=unit_prior)
+
+    theta0 = theta_ref[:]
+    blk, d_pad = theta0.shape
+    live = jax.lax.broadcasted_iota(jnp.int32, (blk, d_pad), 1) < d
+    lp0, g0 = logp_grad(theta0)
+
+    def body(_, carry):
+        theta, lp, g, acc = carry
+        m0 = jnp.where(live, _normal_hw((blk, d_pad)), 0.0)
+        logu = jnp.log(1.0 - _uniform((blk, LANE)))[:, 0:1]
+        h0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
+        th_p, m, g_p, lp_p = _trajectory(theta, m0, g, eps, grad_only,
+                                         logp_grad, n_leaps=n_leaps,
+                                         integrator=integrator)
+        h = -lp_p + 0.5 * jnp.sum(m * m, axis=1, keepdims=True)
+        ratio = h0 - h
+        ratio = jnp.where(jnp.isnan(ratio), -jnp.inf, ratio)
+        a = (ratio > 0) | (ratio > logu)                   # (blk, 1)
+        aw = jnp.broadcast_to(a, theta.shape)
+        theta = jnp.where(aw, th_p, theta)
+        g = jnp.where(aw, g_p, g)
+        lp = jnp.where(a, lp_p, lp)
+        return theta, lp, g, acc + a.astype(jnp.float32)
+
+    theta, lp, g, acc = jax.lax.fori_loop(
+        0, k_trans, body, (theta0, lp0, g0, jnp.zeros_like(lp0)))
+
+    theta_out[:] = theta
+    grad_out[:] = g
+    lp_out[:] = jnp.broadcast_to(lp, lp_out.shape)
+    acc_out[:] = jnp.broadcast_to(acc / k_trans, acc_out.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "n_leaps", "k_trans", "block_chains", "mxu_dtype",
+                     "kind", "_use_w", "_use_o", "_unit_prior", "integrator"),
+)
+def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
+                     block_chains=256, mxu_dtype=jnp.float32,
+                     kind="logistic", weights=None, offsets=None,
+                     prior_prec=1.0, _use_w=False, _use_o=False,
+                     _unit_prior=True, integrator="leapfrog"):
+    """Launch the multi-transition kernel once (see ``_multistep_kernel``).
+
+    TPU-only (hardware PRNG has no CPU/interpret lowering).  Returns
+    (theta, grad, lp (C,), accept_rate (C,)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, d_pad = theta.shape
+    N = XT.shape[1]
+    blk = min(block_chains, C)
+    assert C % blk == 0, \
+        f"block_chains ({blk}) must evenly divide the chain count ({C})"
+    n_blocks = C // blk
+    eps = jnp.float32(eps)
+    lam = jnp.asarray(prior_prec, dtype=jnp.float32)
+
+    grid = (n_blocks,)
+    chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((blk, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    inputs = [jnp.reshape(jnp.asarray(seeds, jnp.int32), (n_blocks, 1)),
+              jnp.reshape(eps, (1, 1)), jnp.reshape(lam, (1, 1)), XT, Y]
+    in_specs = [
+        pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        smem_spec, smem_spec,
+        pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        obs_spec,
+    ]
+    if _use_w:
+        inputs.append(jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    if _use_o:
+        inputs.append(jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    inputs.append(theta)
+    in_specs.append(chain_spec)
+
+    theta, grad, lp, acc = pl.pallas_call(
+        functools.partial(_multistep_kernel, d=d, n_leaps=n_leaps,
+                          k_trans=k_trans, mxu_dtype=mxu_dtype, kind=kind,
+                          use_w=_use_w, use_o=_use_o,
+                          unit_prior=_unit_prior, integrator=integrator),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[chain_spec, chain_spec, col_spec, col_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
+            jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
+            jax.ShapeDtypeStruct((C, LANE), theta.dtype),
+            jax.ShapeDtypeStruct((C, LANE), theta.dtype),
+        ],
+    )(*inputs)
+    return theta, grad, lp[:, 0], acc[:, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",

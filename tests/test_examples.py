@@ -176,3 +176,29 @@ def test_model_comparison_example():
         seed=1,
     )
     assert abs(smc.diagnostics["logz"] - exact) < 0.4
+
+
+def test_eight_schools_matches_exact_quadrature():
+    """Hierarchical 8-schools (non-centered, DSL with acc() Jacobian):
+    NUTS + run_until posterior matches the analytic (mu, tau) marginal
+    computed by quadrature."""
+    import eight_schools as es
+
+    m = es.make_model()
+    res = mc.run_until(m, mc.NUTS(mass_adapt=True), n_chains=8,
+                       rhat_target=1.02, min_ess=600, check_every=400,
+                       max_steps=4000, seed=3)
+    assert res.converged, res.history
+    draws = res.samples.reshape(-1, m.size)
+    mu, tau = draws[:, 0], np.exp(draws[:, 1])
+    mu_mean, mu_sd, tau_median = es.exact_posterior()
+    se = mu_sd / np.sqrt(res.min_ess)
+    assert abs(mu.mean() - mu_mean) < 6 * se + 0.2, (mu.mean(), mu_mean)
+    assert abs(mu.std() - mu_sd) < 0.5, (mu.std(), mu_sd)
+    assert abs(np.median(tau) - tau_median) < 0.6, (np.median(tau),
+                                                    tau_median)
+
+
+def test_acc_outside_trace_raises():
+    with pytest.raises(RuntimeError):
+        mc.acc(1.0)
