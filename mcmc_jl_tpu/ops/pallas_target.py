@@ -233,6 +233,61 @@ def _model_block_cached(ev, d):
     return logp_block
 
 
+def run_target_hmc_sharded(logp_block, d, n_chains, steps, mesh=None,
+                           axis="chains", n_leaps=10, eps=0.1, seed=0,
+                           key=None, inits=None, block_chains=256,
+                           interpret=False, integrator="leapfrog"):
+    """Mesh-sharded fused custom-target HMC: chains split over ``mesh[axis]``.
+
+    The multi-chip version of :func:`run_target_hmc`, mirroring
+    :func:`mcmc_jl_tpu.ops.glm_hmc.run_glm_hmc_sharded`: each device runs
+    the fused kernel on its local chain shard; chains are independent, so
+    the hot loop uses NO collectives (SURVEY §3.5 — the property that makes
+    the reference's prun embarrassingly parallel).  Per-device streams =
+    ``fold_in(key, axis index)``.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    import numpy as np
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (axis,))
+    n_dev = mesh.shape[axis]
+    assert n_chains % n_dev == 0, (
+        f"n_chains ({n_chains}) must be divisible by the '{axis}' mesh "
+        f"axis size ({n_dev})")
+    c_local = n_chains // n_dev
+
+    d_pad = _round_up(d, LANE)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    if inits is None:
+        inits = 0.1 * jax.random.normal(k_init, (n_chains, d), jnp.float32)
+    theta0 = pad_chains(jnp.asarray(inits, jnp.float32), d_pad)
+    block = min(block_chains, c_local)
+    if c_local % block != 0:
+        from .glm_hmc import _pick_block
+
+        block = _pick_block(c_local)
+    run_keys = jax.vmap(lambda i: jax.random.fold_in(k_run, i))(
+        jnp.arange(n_dev))
+
+    def local_run(th0, keys):
+        (theta, lp, g), infos = _run(
+            logp_block, th0, jnp.float32(eps), keys[0], d=d, steps=steps,
+            n_leaps=n_leaps, block_chains=block, interpret=interpret,
+            integrator=integrator)
+        return theta, infos
+
+    fn = shard_map(local_run, mesh=mesh,
+                   in_specs=(P(axis), P(axis)),
+                   out_specs=(P(axis), P(None, axis)),
+                   check_rep=False)
+    theta, infos = fn(theta0, run_keys)
+    return theta[:, :d], infos
+
+
 def model_block_fn(model):
     """Kernel-safe ``logp_block`` from a model's ``eval`` via in-kernel vmap.
 
