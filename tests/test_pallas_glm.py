@@ -372,3 +372,32 @@ def test_sharded_glm_hmc_matches_per_device_runs():
         np.testing.assert_array_equal(
             np.asarray(infos["plogtarget"][:, i * c:(i + 1) * c]),
             np.asarray(infos_i["plogtarget"]))
+
+
+def test_fused_glm_wide_parameter_dim():
+    """d > LANE (d_pad = 2 tiles): kernel lp/grad still match autodiff."""
+    rng = np.random.default_rng(11)
+    n, d = 120, 150
+    X = (np.column_stack([np.ones(n), rng.standard_normal((n, d - 1))])
+         .astype(np.float32) / np.sqrt(d))
+    Y = (rng.random(n) < 0.5).astype(np.float32)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def logp(th):
+        z = Xj @ th
+        return (jnp.dot(Yj, z) - jnp.sum(jnp.logaddexp(0.0, z))
+                - 0.5 * th @ th)
+
+    theta = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1)
+    lp, g_auto = jax.value_and_grad(logp)(theta)
+
+    XT, Y2, d_pad = pad_design(X, Y)
+    assert d_pad == 256
+    th_p = pad_chains(theta[None, :], d_pad)
+    th1, m1, g1, lp1 = glm_hmc_leapfrogs(
+        XT, Y2, th_p, jnp.zeros_like(th_p), jnp.zeros_like(th_p), 0.0,
+        n_leaps=1, block_chains=1, interpret=True)
+    np.testing.assert_allclose(float(lp1[0]), float(lp), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[0, :d]), np.asarray(g_auto),
+                               rtol=2e-4, atol=2e-4)
+    assert np.all(np.asarray(g1[0, d:]) == 0)

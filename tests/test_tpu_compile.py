@@ -51,6 +51,12 @@ assert target_kernel_supported(blockfn, LANE, 128), \
 assert target_kernel_supported(blockfn, LANE, 128, integrator="2stage"), \
     "fused custom-target 2stage kernel failed Mosaic"
 
+# wide parameter dimension: d_pad = 2 lane tiles
+cw = f32((128, 2 * LANE), jnp.float32)
+jax.jit(lambda *a: glm_hmc_leapfrogs(*a, n_leaps=2, block_chains=128)).lower(
+    f32((2 * LANE, 500), jnp.float32), f32((1, 500), jnp.float32),
+    cw, cw, cw, f32((), jnp.float32)).compile()
+
 # fused RWM kernel, hardware-PRNG mode (prng_seed/prng_random_bits +
 # Box-Muller must all lower)
 from mcmc_jl_tpu.ops.pallas_rwm import fused_target_rwm_steps
