@@ -85,3 +85,20 @@ def test_run_target_rwm_out_of_support_rejects():
     lp = np.asarray(infos["plogtarget"])
     assert np.all(np.isfinite(lp))
     assert np.all(np.asarray(theta) > 0)
+
+
+def test_fused_rwm_ks_gate():
+    """KS gate (reference threshold) on the fused RWM path: pooled draws
+    from many chains vs the exact Normal CDF."""
+    import scipy.stats as st
+
+    d, mu, sigma = 1, 1.0, 1.0
+    theta, infos = run_target_rwm(
+        _normal_block(mu=mu, sigma=sigma, d=d), d, n_chains=256,
+        steps=800, thin=10, scale=2.4, seed=7, interpret=True)
+    draws = np.asarray(infos["ppars"])[40:, :, 0].ravel()  # post-warmup
+    xs = np.sort(draws)
+    y = st.norm(mu, sigma).cdf(xs)
+    dn = np.max(np.abs(np.arange(1, len(xs) + 1) / len(xs) - y))
+    # thinned draws are weakly dependent: use the reference's loose gate
+    assert np.sqrt(len(xs)) * dn < 10, np.sqrt(len(xs)) * dn

@@ -179,3 +179,18 @@ def test_sharded_target_hmc_matches_per_device_runs():
         np.testing.assert_array_equal(
             np.asarray(infos["plogtarget"][:, i * c:(i + 1) * c]),
             np.asarray(infos_i["plogtarget"]))
+
+
+def test_fused_target_hmc_ks_gate():
+    """KS gate (reference threshold) on the fused HMC target path."""
+    import scipy.stats as st
+
+    d = 1
+    theta, infos = run_target_hmc(
+        _normal_block(mu=1.0, sigma=1.0, d=d), d, n_chains=256, steps=300,
+        n_leaps=5, eps=0.5, seed=5, interpret=True, collect=True)
+    draws = np.asarray(infos["ppars"])[100:, :, 0].ravel()
+    xs = np.sort(draws)
+    y = st.norm(1.0, 1.0).cdf(xs)
+    dn = np.max(np.abs(np.arange(1, len(xs) + 1) / len(xs) - y))
+    assert np.sqrt(len(xs)) * dn < 10, np.sqrt(len(xs)) * dn
