@@ -80,11 +80,22 @@ def _bench_tpu(X, Y, multistep=True):
         return (jnp.mean(theta, axis=0), acc,
                 jnp.mean(infos["plogtarget"][-1]))
 
+    def fetch(out):
+        # device->host transfer INSIDE the timer: on the tunneled axon
+        # platform block_until_ready does not reliably block (measured:
+        # 1.7s executions "completing" in 3 ms), so the only trustworthy
+        # stop-clock is fetching the reduced scalars themselves.
+        return np.asarray(out[0]), float(out[1]), float(out[2])
+
     ms = bool(multistep)
+    warmed = False
     if ms:
         try:
-            out = go(jax.random.PRNGKey(0), ms=True)
-            jax.block_until_ready(out)
+            # fetch() inside the probe: a RUNTIME kernel failure must be
+            # caught here, not escape into the timing loop — and a
+            # successful probe doubles as the warmup run.
+            fetch(go(jax.random.PRNGKey(0), ms=True))
+            warmed = True
         except Exception as e:  # pragma: no cover - backend-specific
             import sys
 
@@ -93,14 +104,8 @@ def _bench_tpu(X, Y, multistep=True):
             ms = False
     go = partial(go, ms=ms)
 
-    def fetch(out):
-        # device->host transfer INSIDE the timer: on the tunneled axon
-        # platform block_until_ready does not reliably block (measured:
-        # 1.7s executions "completing" in 3 ms), so the only trustworthy
-        # stop-clock is fetching the reduced scalars themselves.
-        return np.asarray(out[0]), float(out[1]), float(out[2])
-
-    fetch(go(jax.random.PRNGKey(0)))
+    if not warmed:
+        fetch(go(jax.random.PRNGKey(0)))
     ts, acc, lp = [], 0.0, 0.0
     for rep in range(3):
         t0 = time.perf_counter()

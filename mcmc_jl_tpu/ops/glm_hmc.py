@@ -30,7 +30,8 @@ from .pallas_glm import (glm_hmc_leapfrogs, glm_hmc_step, pad_chains,
                                    "collect", "integrator", "fused_step"))
 def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
          interpret, mxu_dtype=jnp.float32, kind="logistic", W=None, O=None,
-         lam=1.0, collect=False, integrator="leapfrog", fused_step=False):
+         lam=1.0, lam_vec=None, collect=False, integrator="leapfrog",
+         fused_step=False):
     """Scan ``steps`` fused-HMC transitions for all chains.
 
     ``collect=False`` (bench mode) emits only (plogtarget, accept) per step;
@@ -45,11 +46,15 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
     ``False`` launches only the trajectory kernel and does accept/select in
     XLA — the fallback the public entries route to if the step kernel fails
     to lower on the local toolchain (see :func:`step_kernel_supported`).
-    Both produce identical chains (same PRNG stream, same accept rule).
+    ``lam_vec`` (traced (1, d_pad), padded lanes = 1) replaces the static
+    scalar ``lam`` with a per-coordinate prior precision — the vector-prior
+    path the warm-start pipeline uses to fold a diagonal mass metric into
+    the kernel (ops/warmstart.py).
     """
     C, d_pad = theta0.shape
     from .pallas_glm import link_terms
     ll_fn, resid_fn = link_terms(kind)
+    prior = lam if lam_vec is None else lam_vec
 
     def refresh(k):
         # momenta live only on the d real columns (padded theta stays exactly
@@ -68,8 +73,10 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         ll = ll_fn(logits, Y)
         if W is not None:
             r, ll = W * r, W * ll
-        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - lam * theta
-        lp = jnp.sum(ll, axis=1) - 0.5 * lam * jnp.sum(theta * theta, axis=1)
+        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) \
+            - prior * theta
+        lp = jnp.sum(ll, axis=1) \
+            - 0.5 * jnp.sum((prior * theta) * theta, axis=1)
         return lp, g
 
     lp0, g0 = logp_grad(theta0)
@@ -87,7 +94,7 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
             XT, Y, theta, g, lp[:, None], m0, logu, eps, n_leaps=n_leaps,
             block_chains=block_chains, interpret=interpret,
             mxu_dtype=mxu_dtype, kind=kind,
-            weights=W, offsets=O, prior_prec=lam, integrator=integrator,
+            weights=W, offsets=O, prior_prec=prior, integrator=integrator,
         )
         lp = lp2[:, 0]
         info = {"plogtarget": lp, "accept": acc[:, 0] > 0.5}
@@ -106,7 +113,7 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
             XT, Y, theta, m0, g, eps, n_leaps=n_leaps,
             block_chains=block_chains, interpret=interpret,
             mxu_dtype=mxu_dtype, kind=kind,
-            weights=W, offsets=O, prior_prec=lam, integrator=integrator,
+            weights=W, offsets=O, prior_prec=prior, integrator=integrator,
         )
         H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
         ratio = H0 - H
@@ -134,7 +141,7 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
                                    "lam", "integrator", "collect"))
 def _run_multistep(XT, Y, theta0, eps, key, *, d, n_launches, k_trans,
                    n_leaps, block_chains, mxu_dtype=jnp.float32,
-                   kind="logistic", W=None, O=None, lam=1.0,
+                   kind="logistic", W=None, O=None, lam=1.0, lam_vec=None,
                    integrator="leapfrog", collect=False):
     """Scan ``n_launches`` multi-transition kernel launches (TPU only).
 
@@ -150,12 +157,13 @@ def _run_multistep(XT, Y, theta0, eps, key, *, d, n_launches, k_trans,
     def launch(theta, k):
         seeds = jax.random.randint(k, (n_blocks,), 0, np.int32(2**31 - 1),
                                    dtype=jnp.int32)
+        vec = lam_vec is not None
         theta, g, lp, acc = _multistep_inner(
             XT, Y, theta, seeds, eps, d=d, n_leaps=n_leaps, k_trans=k_trans,
             block_chains=block_chains, mxu_dtype=mxu_dtype, kind=kind,
-            weights=W, offsets=O, prior_prec=lam,
+            weights=W, offsets=O, prior_prec=lam_vec if vec else lam,
             _use_w=W is not None, _use_o=O is not None,
-            _unit_prior=isinstance(lam, (int, float)) and float(lam) == 1.0,
+            _unit_prior=not vec and float(lam) == 1.0, _vec_prior=vec,
             integrator=integrator)
         info = {"plogtarget": lp, "accept_rate": acc}
         if collect:
@@ -215,7 +223,7 @@ _TRAJ_PROBE_CACHE = {}
 
 def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
                                 use_o=False, unit_prior=True,
-                                integrator="leapfrog"):
+                                vec_prior=False, integrator="leapfrog"):
     """Compile-probe the fused trajectory kernel on the current backend.
 
     The built-in links are TPU-validated, but a custom ``(ll, resid)`` pair
@@ -226,7 +234,8 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
     import jax
 
     sig = (d_pad, N, blk, kind if isinstance(kind, str) else id(kind),
-           use_w, use_o, unit_prior, integrator, jax.default_backend())
+           use_w, use_o, unit_prior, vec_prior, integrator,
+           jax.default_backend())
     hit = _TRAJ_PROBE_CACHE.get(sig)
     if hit is not None:
         return hit
@@ -237,6 +246,8 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
         extra.append(f32((1, N), jnp.float32))
     if use_o:
         extra.append(f32((1, N), jnp.float32))
+    if vec_prior:
+        extra.append(f32((1, d_pad), jnp.float32))
 
     def probe(XT, Y, th, m, g, eps, *wo):
         kw = dict(n_leaps=2, block_chains=blk, interpret=False, kind=kind,
@@ -247,6 +258,8 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
             kw["weights"] = next(it)
         if use_o:
             kw["offsets"] = next(it)
+        if vec_prior:
+            kw["prior_prec"] = next(it)
         return glm_hmc_leapfrogs(XT, Y, th, m, g, eps, **kw)
 
     try:
@@ -267,9 +280,11 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
     return ok
 
 
-def model_kernel_supported(model, sampler, n_chains=256):
+def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False):
     """True if ``model``'s GLM spec lowers through the fused trajectory
-    kernel on the current backend (used by the prun auto-routing)."""
+    kernel on the current backend (used by the prun auto-routing).
+    ``vec_prior=True`` probes the per-coordinate-precision variant the
+    warm-start mass fold uses (ops/warmstart.py)."""
     from .pallas_glm import _round_up, LANE
 
     spec = model.glm_spec
@@ -279,8 +294,8 @@ def model_kernel_supported(model, sampler, n_chains=256):
     return trajectory_kernel_supported(
         d_pad, spec.X.shape[0], _pick_block(n_chains), kind=spec.kind,
         use_w=spec.weights is not None, use_o=spec.offsets is not None,
-        unit_prior=float(spec.prior_prec) == 1.0,
-        integrator=sampler.integrator)
+        unit_prior=not vec_prior and float(spec.prior_prec) == 1.0,
+        vec_prior=vec_prior, integrator=sampler.integrator)
 
 
 def step_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
@@ -441,7 +456,7 @@ def run_glm_hmc_sharded(X, Y, n_chains, steps, mesh=None, axis="chains",
     device i.
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     if mesh is None:
         devs = np.asarray(jax.devices())

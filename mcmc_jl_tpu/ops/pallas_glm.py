@@ -37,6 +37,30 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _lam_input(prior_prec, vec_prior, d_pad):
+    """Kernel input + BlockSpec for the prior precision: an SMEM scalar, or
+    (vector-prior path) a (1, d_pad) VMEM row padded with ones so padded
+    lanes stay inert (their theta is exactly zero anyway)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if vec_prior:
+        lam = jnp.ravel(jnp.asarray(prior_prec, jnp.float32))
+        lam = jnp.concatenate(
+            [lam, jnp.ones(d_pad - lam.shape[0], jnp.float32)])
+        return (jnp.reshape(lam, (1, d_pad)),
+                pl.BlockSpec((1, d_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM))
+    return (jnp.reshape(jnp.asarray(prior_prec, jnp.float32), (1, 1)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM))
+
+
+def is_vec_prior(prior_prec):
+    """True when ``prior_prec`` is a per-coordinate precision vector."""
+    return getattr(prior_prec, "ndim", 0) >= 1 and np.size(prior_prec) > 1
+
+
 def link_terms(kind, kernel=False):
     """Per-observation log-lik and residual factor for supported GLM links.
 
@@ -106,7 +130,10 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
     Shared by the trajectory kernel and the full-transition kernel.
     ``use_w``/``use_o``/``unit_prior`` are trace-time flags: the default
     unweighted / no-offset / unit-prior path compiles with zero extra ops
-    (and zero extra VMEM inputs) in the hot loop."""
+    (and zero extra VMEM inputs) in the hot loop.  ``lam`` is either a
+    scalar or a (1, d_pad) per-coordinate precision row (the vector-prior
+    path that folds a diagonal mass metric into the kernel — see
+    ops/warmstart.py); both share the same elementwise prior math."""
     xt = xt_ref[:].astype(mxu_dtype)   # (d_pad, N)
     y = y_ref[:]              # (1, N)
     w = w_ref[:] if use_w else None   # (1, N) per-observation weights
@@ -148,10 +175,12 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
             r = w * r
             ll = w * ll
         g = rxt(r) - prior_grad(theta)
-        quad = jnp.sum(theta * theta, axis=1, keepdims=True)
-        lp = jnp.sum(ll, axis=1, keepdims=True) - 0.5 * (
-            quad if unit_prior else lam * quad
+        # sum((lam*theta)*theta) covers scalar AND (1, d_pad) vector lam
+        quad = jnp.sum(
+            (theta if unit_prior else lam * theta) * theta,
+            axis=1, keepdims=True,
         )
+        lp = jnp.sum(ll, axis=1, keepdims=True) - 0.5 * quad
         return lp, g
 
     return grad_only, logp_grad
@@ -193,7 +222,7 @@ def _trajectory(theta, m, g, eps, grad_only, logp_grad, *, n_leaps,
 
 
 def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
-            integrator="leapfrog"):
+            vec_prior=False, integrator="leapfrog"):
     """One HMC trajectory (n_leaps leapfrogs) for a block of chains."""
     it = iter(refs)
     eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
@@ -203,7 +232,8 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     theta_out, m_out, grad_out, lp_out = list(it)
 
     eps = eps_ref[0, 0]
-    lam = lam_ref[0, 0]  # N(0, 1/lam) prior precision
+    # N(0, 1/lam) prior precision: scalar, or a (1, d_pad) coordinate row
+    lam = lam_ref[:] if vec_prior else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
         use_w=use_w, use_o=use_o, unit_prior=unit_prior)
@@ -219,7 +249,7 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
 
 
 def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
-                 integrator="leapfrog"):
+                 vec_prior=False, integrator="leapfrog"):
     """One FULL HMC transition for a block of chains: momentum refresh
     (pre-drawn noise in), whole trajectory, Metropolis accept — nothing but
     the noise generation stays outside the kernel.  Compared to launching
@@ -235,7 +265,7 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     theta_out, grad_out, lp_out, acc_out = list(it)
 
     eps = eps_ref[0, 0]
-    lam = lam_ref[0, 0]
+    lam = lam_ref[:] if vec_prior else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
         use_w=use_w, use_o=use_o, unit_prior=unit_prior)
@@ -269,7 +299,8 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
 
 
 def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
-                      use_o, unit_prior, integrator="leapfrog"):
+                      use_o, unit_prior, vec_prior=False,
+                      integrator="leapfrog"):
     """``k_trans`` FULL HMC transitions for a block of chains in ONE kernel
     launch: momentum refresh (Box-Muller on the hardware PRNG) + whole
     trajectory + Metropolis accept, all VMEM-resident.  Between launches
@@ -291,7 +322,7 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
 
     pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
     eps = eps_ref[0, 0]
-    lam = lam_ref[0, 0]
+    lam = lam_ref[:] if vec_prior else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
         use_w=use_w, use_o=use_o, unit_prior=unit_prior)
@@ -331,13 +362,15 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
 @functools.partial(
     jax.jit,
     static_argnames=("d", "n_leaps", "k_trans", "block_chains", "mxu_dtype",
-                     "kind", "_use_w", "_use_o", "_unit_prior", "integrator"),
+                     "kind", "_use_w", "_use_o", "_unit_prior", "_vec_prior",
+                     "integrator"),
 )
 def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
                      block_chains=256, mxu_dtype=jnp.float32,
                      kind="logistic", weights=None, offsets=None,
                      prior_prec=1.0, _use_w=False, _use_o=False,
-                     _unit_prior=True, integrator="leapfrog"):
+                     _unit_prior=True, _vec_prior=False,
+                     integrator="leapfrog"):
     """Launch the multi-transition kernel once (see ``_multistep_kernel``).
 
     TPU-only (hardware PRNG has no CPU/interpret lowering).  Returns
@@ -353,7 +386,7 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
     n_blocks = C // blk
     eps = jnp.float32(eps)
-    lam = jnp.asarray(prior_prec, dtype=jnp.float32)
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad)
 
     grid = (n_blocks,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
@@ -364,11 +397,11 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
     obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     inputs = [jnp.reshape(jnp.asarray(seeds, jnp.int32), (n_blocks, 1)),
-              jnp.reshape(eps, (1, 1)), jnp.reshape(lam, (1, 1)), XT, Y]
+              jnp.reshape(eps, (1, 1)), lam_in, XT, Y]
     in_specs = [
         pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
-        smem_spec, smem_spec,
+        smem_spec, lam_spec,
         pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         obs_spec,
     ]
@@ -385,7 +418,8 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
         functools.partial(_multistep_kernel, d=d, n_leaps=n_leaps,
                           k_trans=k_trans, mxu_dtype=mxu_dtype, kind=kind,
                           use_w=_use_w, use_o=_use_o,
-                          unit_prior=_unit_prior, integrator=integrator),
+                          unit_prior=_unit_prior, vec_prior=_vec_prior,
+                          integrator=integrator),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
@@ -404,14 +438,15 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
 @functools.partial(
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
-                     "kind", "_use_w", "_use_o", "_unit_prior", "integrator"),
+                     "kind", "_use_w", "_use_o", "_unit_prior", "_vec_prior",
+                     "integrator"),
 )
 def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
                      block_chains=256, interpret=False,
                      mxu_dtype=jnp.float32, kind="logistic",
                      weights=None, offsets=None, prior_prec=1.0,
                      _use_w=False, _use_o=False, _unit_prior=True,
-                     integrator="leapfrog"):
+                     _vec_prior=False, integrator="leapfrog"):
     """Run ``n_leaps`` fused leapfrogs for all chains.
 
     Args:
@@ -435,7 +470,7 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     assert C % blk == 0, \
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
     eps = jnp.float32(eps)
-    lam = jnp.asarray(prior_prec, dtype=jnp.float32)
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
@@ -443,9 +478,9 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    inputs = [jnp.reshape(eps, (1, 1)), jnp.reshape(lam, (1, 1)), XT, Y]
+    inputs = [jnp.reshape(eps, (1, 1)), lam_in, XT, Y]
     in_specs = [
-        smem_spec, smem_spec,
+        smem_spec, lam_spec,
         pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         obs_spec,
     ]
@@ -465,7 +500,8 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     out = pl.pallas_call(
         functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
-                          unit_prior=_unit_prior, integrator=integrator),
+                          unit_prior=_unit_prior, vec_prior=_vec_prior,
+                          integrator=integrator),
         compiler_params=params,
         grid=grid,
         in_specs=in_specs,
@@ -498,20 +534,22 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
         block_chains=block_chains, interpret=interpret, mxu_dtype=mxu_dtype,
         kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
         _use_w=weights is not None, _use_o=offsets is not None,
-        _unit_prior=unit, integrator=integrator,
+        _unit_prior=unit, _vec_prior=is_vec_prior(prior_prec),
+        integrator=integrator,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
-                     "kind", "_use_w", "_use_o", "_unit_prior", "integrator"),
+                     "kind", "_use_w", "_use_o", "_unit_prior", "_vec_prior",
+                     "integrator"),
 )
 def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
                 block_chains=256, interpret=False, mxu_dtype=jnp.float32,
                 kind="logistic", weights=None, offsets=None, prior_prec=1.0,
                 _use_w=False, _use_o=False, _unit_prior=True,
-                integrator="leapfrog"):
+                _vec_prior=False, integrator="leapfrog"):
     """Run one fused HMC transition (refresh + trajectory + accept).
 
     Args beyond :func:`_leapfrogs_inner`:
@@ -529,7 +567,7 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
     assert C % blk == 0, \
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
     eps = jnp.float32(eps)
-    lam = jnp.asarray(prior_prec, dtype=jnp.float32)
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
@@ -541,9 +579,9 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
     smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    inputs = [jnp.reshape(eps, (1, 1)), jnp.reshape(lam, (1, 1)), XT, Y]
+    inputs = [jnp.reshape(eps, (1, 1)), lam_in, XT, Y]
     in_specs = [
-        smem_spec, smem_spec,
+        smem_spec, lam_spec,
         pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         obs_spec,
     ]
@@ -561,7 +599,8 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
     theta, grad, lp, acc = pl.pallas_call(
         functools.partial(_step_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
-                          unit_prior=_unit_prior, integrator=integrator),
+                          unit_prior=_unit_prior, vec_prior=_vec_prior,
+                          integrator=integrator),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
@@ -589,7 +628,8 @@ def glm_hmc_step(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
         block_chains=block_chains, interpret=interpret, mxu_dtype=mxu_dtype,
         kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
         _use_w=weights is not None, _use_o=offsets is not None,
-        _unit_prior=unit, integrator=integrator,
+        _unit_prior=unit, _vec_prior=is_vec_prior(prior_prec),
+        integrator=integrator,
     )
 
 

@@ -241,15 +241,44 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                 use_target = target_kernel_supported(
                     model_block_fn(t.model), _round_up(t.model.size, LANE),
                     _pick_block(n), integrator=t.sampler.integrator)
-        if (use_fused or use_target) and fused == "auto":
+        # adaptive HMC/HMCDA on a GLM: warmup on the generic engine, frozen
+        # hyper-params to the fused kernel for the sampling phase
+        # (ops/warmstart.py) — the reference's burnin-gated adaptation
+        # semantics (HMC.jl:167-173) at fused-kernel speed
+        use_warm = False
+        if not use_fused and not use_target and fused is not False:
+            from ..ops.warmstart import warm_eligible
+
+            if warm_eligible(t):
+                if fused is True:
+                    use_warm = True
+                elif (fused == "auto" and jax.default_backend() == "tpu"
+                      and not jax.config.jax_enable_x64):
+                    from ..ops.glm_hmc import model_kernel_supported
+                    from ..samplers.hmc import HMC
+
+                    vec = isinstance(t.sampler, HMC) \
+                        and t.sampler._kind is not None
+                    use_warm = model_kernel_supported(
+                        t.model, t.sampler, n, vec_prior=vec)
+        if (use_fused or use_target or use_warm) and fused == "auto":
             import logging
 
             logging.getLogger(__name__).info(
-                "prun: routing %d plain-HMC chains to the fused Pallas "
+                "prun: routing %d %sHMC chains to the fused Pallas "
                 "%s kernel (f32); pass fused=False for the generic engine",
-                n, "GLM" if use_fused else "custom-target",
+                n, "adaptive " if use_warm else "plain-",
+                "GLM" if use_fused else
+                ("warm-start GLM" if use_warm else "custom-target"),
             )
-        if use_fused:
+        if use_warm:
+            from ..ops.warmstart import warmfused_hmc_chains
+
+            infos, final_states = warmfused_hmc_chains(
+                t.model, t.sampler, t.runner, n,
+                key=jax.random.fold_in(key, gi),
+            )
+        elif use_fused:
             from ..ops.glm_hmc import fused_hmc_chains
 
             infos, final_states = fused_hmc_chains(

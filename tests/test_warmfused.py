@@ -1,0 +1,135 @@
+"""Warmup->freeze->fused pipeline (ops/warmstart.py).
+
+Adaptive HMC (EmpMCTuner / diag mass) and HMCDA on GLM posteriors must route
+through the warm-start pipeline under run(chains=, fused=True) and produce
+chains statistically identical to the generic end-to-end engine — the
+reference's burnin-gated adaptation semantics (HMC.jl:167-173,
+HMCDA.jl:133-141) at fused-kernel speed."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mcmc_jl_tpu as mc
+from mcmc_jl_tpu.core.task import MCMCTask
+from mcmc_jl_tpu.ops.warmstart import _freeze, warm_eligible
+from mcmc_jl_tpu.parallel.pchains import _fused_eligible
+
+
+def _data(n=90, d=4, seed=3, scales=None):
+    rng = np.random.default_rng(seed)
+    X = np.column_stack([np.ones(n), rng.standard_normal((n, d - 1))])
+    if scales is not None:
+        X = X / np.asarray(scales)[None, :]  # induces posterior scales ~ s
+    beta = rng.standard_normal(d) * 0.7
+    Y = (rng.random(n) < 1.0 / (1.0 + np.exp(-X @ beta))).astype(np.float64)
+    return X, Y
+
+
+def test_warm_eligibility_matrix():
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    r = mc.SerialMC(steps=600, burnin=200)
+    tun = mc.EmpMCTuner(0.8, adapt_step=50)
+
+    assert warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, tun), r))
+    assert warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, mass_adapt="diag"), r))
+    assert warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, tun, mass_adapt="diag-win"), r))
+    assert warm_eligible(MCMCTask(m, mc.HMCDA(), r))
+    # plain HMC -> the existing fused route, not warm
+    assert not warm_eligible(MCMCTask(m, mc.HMC(5, 0.1), r))
+    assert _fused_eligible(MCMCTask(m, mc.HMC(5, 0.1), r))
+    # dense metric has no kernel fold
+    assert not warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, mass_adapt="dense"), r))
+    # no burnin window -> nothing to adapt/freeze
+    r0 = mc.SerialMC(steps=100, burnin=0)
+    assert not warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, tun), r0))
+    # non-GLM model
+    m2 = mc.model(lambda v: -v @ v, gradient=True, init=jnp.zeros(2),
+                  check_init=False)
+    assert not warm_eligible(MCMCTask(m2, mc.HMC(5, 0.1, tun), r))
+
+
+def _pooled_gate(chains_a, chains_b, tol=0.05, nse=6):
+    mu_a = np.mean([c.samples.values.mean(0) for c in chains_a], axis=0)
+    mu_b = np.mean([c.samples.values.mean(0) for c in chains_b], axis=0)
+    se = np.sqrt(np.mean([mc.var(c) for c in chains_b], axis=0)
+                 / len(chains_b))
+    assert np.all(np.abs(mu_a - mu_b) < nse * se + tol), (mu_a, mu_b, se)
+
+
+def test_warmfused_tuner_matches_generic():
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=50))
+    task = m * s * mc.SerialMC(steps=900, burnin=300)
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+
+    c0 = chains_warm[0]
+    assert c0.samples.shape[0] == len(task.runner.r)
+    assert c0.gradients.shape[0] == c0.samples.shape[0]
+    for k in ("accept", "logtarget"):
+        assert k in c0.diagnostics
+    assert mc.acceptance(c0) > 40
+
+    # resume continues from the frozen tuner state through the generic path
+    st = c0.task.state
+    assert float(st.tune.step_size) > 0
+    c1 = mc.resume(c0, steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+
+
+def test_warmfused_mass_adapt_matches_generic():
+    # anisotropic posterior: mass fold (X S reparam + vector prior) must
+    # reproduce the generic diag-mass chain statistics
+    scales = np.array([0.5, 4.0, 1.0, 0.25])
+    X, Y = _data(scales=scales)
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(6, 0.1, mass_adapt="diag")
+    task = m * s * mc.SerialMC(steps=900, burnin=300)
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+
+    # logtarget diagnostic must be the exact model log-density (the metric
+    # fold is a reparameterization, not a change of target)
+    c0 = chains_warm[0]
+    rows = c0.samples.values[-5:]
+    lp_true = np.array([float(m.eval(jnp.asarray(r))) for r in rows])
+    np.testing.assert_allclose(c0.diagnostics["logtarget"][-5:], lp_true,
+                               rtol=1e-4, atol=5e-3)
+
+
+def test_warmfused_hmcda_matches_generic():
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    task = m * mc.HMCDA(len=1.0) * mc.SerialMC(steps=900, burnin=300)
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+
+    # final states carry the frozen dual-averaged step
+    st = chains_warm[0].task.state
+    assert float(st.leap_step) > 0
+    assert float(st.leap_step) == float(st.dual_leap_step)
+    c1 = mc.resume(chains_warm[0], steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+
+
+def test_freeze_pools_median():
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=25))
+    from mcmc_jl_tpu.parallel.pchains import init_chains, _scan_chains
+    from mcmc_jl_tpu.samplers.base import RunCtx
+
+    states = init_chains(m, s, 4, jax.random.PRNGKey(0))
+    states, _ = _scan_chains(m, s, RunCtx(burnin=100), states,
+                             jax.random.PRNGKey(1), 100)
+    eps, nl, sc = _freeze(s, states)
+    assert eps == float(np.median(np.asarray(states.tune.step_size)))
+    assert nl >= 1 and sc is None
