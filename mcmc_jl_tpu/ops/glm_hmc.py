@@ -223,7 +223,8 @@ _TRAJ_PROBE_CACHE = {}
 
 def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
                                 use_o=False, unit_prior=True,
-                                vec_prior=False, integrator="leapfrog"):
+                                vec_prior=False, dyn_len=False,
+                                integrator="leapfrog"):
     """Compile-probe the fused trajectory kernel on the current backend.
 
     The built-in links are TPU-validated, but a custom ``(ll, resid)`` pair
@@ -234,7 +235,7 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
     import jax
 
     sig = (d_pad, N, blk, kind if isinstance(kind, str) else id(kind),
-           use_w, use_o, unit_prior, vec_prior, integrator,
+           use_w, use_o, unit_prior, vec_prior, dyn_len, integrator,
            jax.default_backend())
     hit = _TRAJ_PROBE_CACHE.get(sig)
     if hit is not None:
@@ -248,6 +249,8 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
         extra.append(f32((1, N), jnp.float32))
     if vec_prior:
         extra.append(f32((1, d_pad), jnp.float32))
+    if dyn_len:
+        extra.append(jax.ShapeDtypeStruct((), jnp.int32))
 
     def probe(XT, Y, th, m, g, eps, *wo):
         kw = dict(n_leaps=2, block_chains=blk, interpret=False, kind=kind,
@@ -260,6 +263,8 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
             kw["offsets"] = next(it)
         if vec_prior:
             kw["prior_prec"] = next(it)
+        if dyn_len:
+            kw["n_leaps"] = next(it)
         return glm_hmc_leapfrogs(XT, Y, th, m, g, eps, **kw)
 
     try:
@@ -280,11 +285,13 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
     return ok
 
 
-def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False):
+def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
+                           dyn_len=False):
     """True if ``model``'s GLM spec lowers through the fused trajectory
     kernel on the current backend (used by the prun auto-routing).
     ``vec_prior=True`` probes the per-coordinate-precision variant the
-    warm-start mass fold uses (ops/warmstart.py)."""
+    warm-start mass fold uses; ``dyn_len=True`` the runtime-trip-count
+    variant ChEES needs (ops/warmstart.py)."""
     from .pallas_glm import _round_up, LANE
 
     spec = model.glm_spec
@@ -295,7 +302,7 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False):
         d_pad, spec.X.shape[0], _pick_block(n_chains), kind=spec.kind,
         use_w=spec.weights is not None, use_o=spec.offsets is not None,
         unit_prior=not vec_prior and float(spec.prior_prec) == 1.0,
-        vec_prior=vec_prior, integrator=sampler.integrator)
+        vec_prior=vec_prior, dyn_len=dyn_len, integrator=sampler.integrator)
 
 
 def step_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,

@@ -222,10 +222,17 @@ def _trajectory(theta, m, g, eps, grad_only, logp_grad, *, n_leaps,
 
 
 def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
-            vec_prior=False, integrator="leapfrog"):
-    """One HMC trajectory (n_leaps leapfrogs) for a block of chains."""
+            vec_prior=False, dyn_len=False, integrator="leapfrog"):
+    """One HMC trajectory (n_leaps leapfrogs) for a block of chains.
+
+    ``dyn_len=True`` reads the leap count from an SMEM scalar instead of the
+    static ``n_leaps`` — the trajectory loop gets a runtime trip count, so
+    ONE compiled kernel serves every per-step jittered length of a
+    ChEES-HMC sampling phase (ops/warmstart.py)."""
     it = iter(refs)
-    eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
+    eps_ref = next(it)
+    nl_ref = next(it) if dyn_len else None
+    lam_ref, xt_ref, y_ref = (next(it) for _ in range(3))
     w_ref = next(it) if use_w else None
     o_ref = next(it) if use_o else None
     theta_ref, m_ref, grad_ref = (next(it) for _ in range(3))
@@ -238,8 +245,9 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
         use_w=use_w, use_o=use_o, unit_prior=unit_prior)
 
+    nl = nl_ref[0, 0] if dyn_len else n_leaps
     theta, m, g, lp = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
-                                  grad_only, logp_grad, n_leaps=n_leaps,
+                                  grad_only, logp_grad, n_leaps=nl,
                                   integrator=integrator)
 
     theta_out[:] = theta
@@ -439,14 +447,15 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
                      "kind", "_use_w", "_use_o", "_unit_prior", "_vec_prior",
-                     "integrator"),
+                     "_dyn_len", "integrator"),
 )
-def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
+def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10, nl=None,
                      block_chains=256, interpret=False,
                      mxu_dtype=jnp.float32, kind="logistic",
                      weights=None, offsets=None, prior_prec=1.0,
                      _use_w=False, _use_o=False, _unit_prior=True,
-                     _vec_prior=False, integrator="leapfrog"):
+                     _vec_prior=False, _dyn_len=False,
+                     integrator="leapfrog"):
     """Run ``n_leaps`` fused leapfrogs for all chains.
 
     Args:
@@ -478,9 +487,14 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    inputs = [jnp.reshape(eps, (1, 1)), lam_in, XT, Y]
-    in_specs = [
-        smem_spec, lam_spec,
+    inputs = [jnp.reshape(eps, (1, 1))]
+    in_specs = [smem_spec]
+    if _dyn_len:
+        inputs.append(jnp.reshape(jnp.asarray(nl, jnp.int32), (1, 1)))
+        in_specs.append(smem_spec)
+    inputs += [lam_in, XT, Y]
+    in_specs += [
+        lam_spec,
         pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         obs_spec,
     ]
@@ -501,7 +515,7 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10,
         functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior, vec_prior=_vec_prior,
-                          integrator=integrator),
+                          dyn_len=_dyn_len, integrator=integrator),
         compiler_params=params,
         grid=grid,
         in_specs=in_specs,
@@ -527,15 +541,18 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
                       integrator="leapfrog"):
     """Public fused-trajectory entry (docs on :func:`_leapfrogs_inner`).
     Derives the trace-time specialization flags, so the default call compiles
-    the exact pre-extension kernel."""
+    the exact pre-extension kernel.  ``n_leaps`` may be a traced i32 scalar
+    (runtime trip count — the ChEES dynamic-length path)."""
     unit = isinstance(prior_prec, (int, float)) and float(prior_prec) == 1.0
+    dyn = not isinstance(n_leaps, int)
     return _leapfrogs_inner(
-        XT, Y, theta, m, grad, eps, n_leaps=n_leaps,
+        XT, Y, theta, m, grad, eps,
+        n_leaps=0 if dyn else n_leaps, nl=n_leaps if dyn else None,
         block_chains=block_chains, interpret=interpret, mxu_dtype=mxu_dtype,
         kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
         _use_w=weights is not None, _use_o=offsets is not None,
         _unit_prior=unit, _vec_prior=is_vec_prior(prior_prec),
-        integrator=integrator,
+        _dyn_len=dyn, integrator=integrator,
     )
 
 

@@ -32,6 +32,8 @@ the pooled values.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,7 @@ def warm_eligible(task):
 
 
 def _warm_ok(model, sampler, runner):
+    from ..samplers.chees import ChEESHMC
     from ..samplers.hmc import HMC
     from ..samplers.hmcda import HMCDA
 
@@ -64,7 +67,25 @@ def _warm_ok(model, sampler, runner):
     if isinstance(s, HMCDA):
         return (not s.store_leaps
                 and s.integrator in ("leapfrog", "2stage", "3stage"))
+    if isinstance(s, ChEESHMC):
+        # post-burnin ChEES is fixed-eps HMC with shared Halton-jittered
+        # trajectory lengths: the dynamic-trip-count kernel serves it
+        return s.integrator in ("leapfrog", "2stage", "3stage")
     return False
+
+
+def _pool_mass(kind, states_w):
+    """Across-chain RMS of the per-chain diagonal mass scales (None = unit)."""
+    from ..samplers.massadapt import mass_vector_scale
+
+    if kind is None:
+        return None
+    dtype = states_w.pars.dtype
+    s_c = jax.vmap(
+        lambda acc: mass_vector_scale(kind, acc, dtype)
+    )(states_w.mass)
+    s = np.sqrt(np.mean(np.asarray(s_c, np.float64) ** 2, axis=0))
+    return None if np.allclose(s, 1.0) else s  # never armed: skip reparam
 
 
 def _freeze(sampler, states_w):
@@ -73,7 +94,6 @@ def _freeze(sampler, states_w):
     Returns ``(eps, n_leaps, s)``; ``s`` is the pooled per-coordinate
     inverse-mass sqrt (None = unit metric)."""
     from ..samplers.hmc import HMC
-    from ..samplers.massadapt import mass_vector_scale
 
     if isinstance(sampler, HMC):
         if sampler.tuner is not None:
@@ -81,18 +101,7 @@ def _freeze(sampler, states_w):
             nl = int(np.median(np.asarray(states_w.tune.n_leaps)))
         else:
             eps, nl = sampler.leap_step, sampler.n_leaps
-        kind = sampler._kind
-        if kind is not None:
-            dtype = states_w.pars.dtype
-            s_c = jax.vmap(
-                lambda acc: mass_vector_scale(kind, acc, dtype)
-            )(states_w.mass)
-            s = np.sqrt(np.mean(np.asarray(s_c, np.float64) ** 2, axis=0))
-            if np.allclose(s, 1.0):
-                s = None  # adaptation never armed: skip the reparam
-        else:
-            s = None
-        return eps, max(int(nl), 1), s
+        return eps, max(int(nl), 1), _pool_mass(sampler._kind, states_w)
     # HMCDA: the frozen dual-averaged step (HMCDA.jl:133-141), trajectory
     # length from the target path length (HMCDA.jl:104)
     eps = float(np.median(np.asarray(states_w.dual_leap_step)))
@@ -100,41 +109,27 @@ def _freeze(sampler, states_w):
     return eps, nl, None
 
 
-def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
-                         interpret=None):
-    """Adaptive warmup on the generic engine + fused-kernel sampling phase.
-
-    Returns ``(infos, final_states)`` protocol-compatible with
-    :func:`mcmc_jl_tpu.parallel.run_chains`: infos cover ALL ``runner.len``
-    steps (warmup rows from the generic engine, sampling rows from the
-    kernel) with the post-accept keys ``ppars/pgrads/plogtarget/accept``;
-    final states carry the adaptation pytrees (frozen at the pooled values)
-    so ``resume`` continues bit-coherently at the same hyper-parameters.
-    """
+def _warmup(model, sampler, runner, n_chains, k_init, k_warm):
+    """Phase 1: the adaptive warmup on the generic vmapped engine (the
+    sampler's own per-chain/pooled adaptation, identical to a non-fused
+    run)."""
     from ..parallel.pchains import _scan_chains, init_chains
-    from ..samplers.base import RunCtx, TuneState
-    from ..samplers.hmc import HMC
-    from .glm_hmc import _pick_block, _run
-    from .pallas_glm import pad_chains, pad_design
+    from ..samplers.base import RunCtx
 
-    spec = model.glm_spec
-    assert _warm_ok(model, sampler, runner), \
-        "warmfused_hmc_chains requires an adaptive HMC/HMCDA GLM task"
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    key, k_init, k_warm, k_samp = jax.random.split(key, 4)
-
-    # ---- phase 1: adaptive warmup on the generic vmapped engine ----------
     states0 = init_chains(model, sampler, n_chains, k_init)
     ctx = RunCtx(burnin=runner.burnin)
-    states_w, infos_w = _scan_chains(model, sampler, ctx, states0, k_warm,
-                                     runner.burnin)
+    return _scan_chains(model, sampler, ctx, states0, k_warm, runner.burnin)
 
-    # ---- phase 2: freeze + metric fold -----------------------------------
-    eps, nl, s = _freeze(sampler, states_w)
+
+def _fold(spec, model_size, states_w, s):
+    """Phase 2 fold: reparameterize ``theta = S z`` so the z-space posterior
+    is again a GLM the kernel runs at unit mass.  Returns the kernel-side
+    quantities ``(XT, Y2, d_pad, theta0 (C, d) z-space, lam, lam_vec, W,
+    O)``."""
+    from .pallas_glm import pad_design
+
     X = np.asarray(spec.X, np.float64)
-    d = model.size
+    d = model_size
     lam = float(spec.prior_prec)
     theta_w = np.asarray(states_w.pars, np.float64)  # (C, d)
     if s is not None:
@@ -154,19 +149,12 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
          else jnp.reshape(jnp.asarray(spec.weights, jnp.float32), (1, N)))
     O = (None if spec.offsets is None
          else jnp.reshape(jnp.asarray(spec.offsets, jnp.float32), (1, N)))
+    return XT, Y2, d_pad, theta0, lam, lam_vec, W, O
 
-    # ---- phase 3: fused sampling -----------------------------------------
-    steps2 = runner.len - runner.burnin
-    block = _pick_block(n_chains)
-    (thetaF, lpF, gF), infos2 = _run(
-        XT, Y2, pad_chains(jnp.asarray(theta0, jnp.float32), d_pad),
-        jnp.float32(eps), k_samp, d=d, steps=steps2, n_leaps=nl,
-        block_chains=block, interpret=interpret, kind=spec.kind,
-        W=W, O=O, lam=lam, lam_vec=lam_vec, collect=True,
-        integrator=sampler.integrator, fused_step=False,
-    )
 
-    # ---- un-fold the metric & assemble the full-run infos ----------------
+def _unfold_cat(infos_w, infos2, thetaF, s, d, extra_keys=()):
+    """Un-fold the metric from the kernel outputs and concatenate warmup +
+    sampling infos into the full-run (len, C, ...) protocol arrays."""
     if s is not None:
         sj = jnp.asarray(s, jnp.float32)
         ppars2 = infos2["ppars"][..., :d] * sj
@@ -184,6 +172,62 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
         "plogtarget": cat(infos_w["plogtarget"], infos2["plogtarget"]),
         "accept": cat(infos_w["accept"], infos2["accept"]),
     }
+    for k in extra_keys:
+        infos[k] = cat(infos_w[k], infos2[k])
+    return infos, theta_model
+
+
+def warmfused_chains(model, sampler, runner, n_chains, key, interpret=None):
+    """Front door: dispatch the warm-start pipeline by sampler family."""
+    from ..samplers.chees import ChEESHMC
+
+    if isinstance(sampler, ChEESHMC):
+        return warmfused_chees_chains(model, sampler, runner, n_chains, key,
+                                      interpret=interpret)
+    return warmfused_hmc_chains(model, sampler, runner, n_chains, key,
+                                interpret=interpret)
+
+
+def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
+                         interpret=None):
+    """Adaptive warmup on the generic engine + fused-kernel sampling phase.
+
+    Returns ``(infos, final_states)`` protocol-compatible with
+    :func:`mcmc_jl_tpu.parallel.run_chains`: infos cover ALL ``runner.len``
+    steps (warmup rows from the generic engine, sampling rows from the
+    kernel) with the post-accept keys ``ppars/pgrads/plogtarget/accept``;
+    final states carry the adaptation pytrees (frozen at the pooled values)
+    so ``resume`` continues bit-coherently at the same hyper-parameters.
+    """
+    from ..samplers.base import TuneState
+    from ..samplers.hmc import HMC
+    from .glm_hmc import _pick_block, _run
+    from .pallas_glm import pad_chains
+
+    spec = model.glm_spec
+    assert _warm_ok(model, sampler, runner), \
+        "warmfused_hmc_chains requires an adaptive HMC/HMCDA GLM task"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    key, k_init, k_warm, k_samp = jax.random.split(key, 4)
+    states_w, infos_w = _warmup(model, sampler, runner, n_chains,
+                                k_init, k_warm)
+    eps, nl, s = _freeze(sampler, states_w)
+    d = model.size
+    XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(spec, d, states_w, s)
+
+    # ---- phase 3: fused sampling -----------------------------------------
+    steps2 = runner.len - runner.burnin
+    block = _pick_block(n_chains)
+    (thetaF, lpF, gF), infos2 = _run(
+        XT, Y2, pad_chains(jnp.asarray(theta0, jnp.float32), d_pad),
+        jnp.float32(eps), k_samp, d=d, steps=steps2, n_leaps=nl,
+        block_chains=block, interpret=interpret, kind=spec.kind,
+        W=W, O=O, lam=lam, lam_vec=lam_vec, collect=True,
+        integrator=sampler.integrator, fused_step=False,
+    )
+    infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, s, d)
 
     # ---- final states: warmup pytrees + fused position, frozen tune ------
     theta_model = theta_model.astype(states_w.pars.dtype)
@@ -205,3 +249,130 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
         states = states.replace(leap_step=epsv, dual_leap_step=epsv,
                                 i=states.i + steps2)
     return infos, states
+
+
+# =========================================================================
+# ChEES-HMC: post-burnin ChEES is fixed-eps HMC with SHARED Halton-jittered
+# trajectory lengths (samplers/chees.py step, Hoffman-Radul-Sountsov 2021)
+# — served by the dynamic-trip-count trajectory kernel, one compile for all
+# per-step lengths.
+# =========================================================================
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "steps", "i0", "max_leaps", "block_chains",
+                     "interpret", "kind", "lam", "integrator"))
+def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
+               block_chains, interpret, kind="logistic", W=None, O=None,
+               lam=1.0, lam_vec=None, integrator="leapfrog"):
+    """Scan ``steps`` frozen-hyper ChEES transitions for all chains.
+
+    Per step ``t`` the shared leap count is the sampler's own rule
+    (chees.py step): ``nl = clip(ceil(halton2(i0+t) * T / eps), 1,
+    max_leaps)`` — a deterministic function of the step index, fed to the
+    kernel as a traced SMEM scalar.  Refresh + Metropolis run in XLA with
+    the same accept rule as the sampler."""
+    from ..samplers.chees import halton2
+    from .pallas_glm import glm_hmc_leapfrogs, link_terms
+
+    C, d_pad = theta0.shape
+    ll_fn, resid_fn = link_terms(kind)
+    prior = lam if lam_vec is None else lam_vec
+
+    def logp_grad(theta):
+        logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
+        if O is not None:
+            logits = logits + O
+        r = resid_fn(logits, Y)
+        ll = ll_fn(logits, Y)
+        if W is not None:
+            r, ll = W * r, W * ll
+        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) \
+            - prior * theta
+        lp = jnp.sum(ll, axis=1) \
+            - 0.5 * jnp.sum((prior * theta) * theta, axis=1)
+        return lp, g
+
+    lp0, g0 = logp_grad(theta0)
+
+    def refresh(k):
+        m = jax.random.normal(k, (C, d), dtype=jnp.float32)
+        return jnp.pad(m, ((0, 0), (0, d_pad - d)))
+
+    def step(carry, inp):
+        theta, lp, g = carry
+        k, i_abs = inp
+        u = halton2(i_abs).astype(jnp.float32)
+        nl = jnp.clip(jnp.ceil(u * T / eps), 1, max_leaps).astype(jnp.int32)
+        k_mom, k_acc = jax.random.split(k)
+        m0 = refresh(k_mom)
+        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
+        p_th, p_m, p_g, p_lp = glm_hmc_leapfrogs(
+            XT, Y, theta, m0, g, eps, n_leaps=nl,
+            block_chains=block_chains, interpret=interpret, kind=kind,
+            weights=W, offsets=O, prior_prec=prior, integrator=integrator)
+        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
+        ratio = H0 - H
+        alpha = jnp.where(jnp.isnan(ratio), 0.0,
+                          jnp.exp(jnp.minimum(ratio, 0.0)))
+        logu = jnp.log(jax.random.uniform(k_acc, (C,), dtype=jnp.float32))
+        accept = jnp.where(jnp.isnan(ratio), False,
+                           (ratio > 0) | (ratio > logu))
+        a = accept[:, None]
+        theta = jnp.where(a, p_th, theta)
+        g = jnp.where(a, p_g, g)
+        lp = jnp.where(accept, p_lp, lp)
+        info = {"ppars": theta, "pgrads": g, "plogtarget": lp,
+                "accept": accept, "alpha": alpha,
+                "epsilon": jnp.broadcast_to(eps, (C,)),
+                "nleaps": jnp.broadcast_to(nl, (C,))}
+        return (theta, lp, g), info
+
+    keys = jax.random.split(key, steps)
+    iabs = i0 + jnp.arange(steps, dtype=jnp.int32)
+    return jax.lax.scan(step, (theta0, lp0, g0), (keys, iabs))
+
+
+def warmfused_chees_chains(model, sampler, runner, n_chains, key,
+                           interpret=None):
+    """ChEES-HMC warm-start pipeline (same contract as
+    :func:`warmfused_hmc_chains`): cross-chain pooled adaptation (dual
+    averaging + Adam on log T + optional diag mass) runs on the generic
+    engine for the burn-in window; the frozen ``(eps, T, metric)`` drive the
+    dynamic-length fused kernel for the sampling phase."""
+    from .glm_hmc import _pick_block
+    from .pallas_glm import pad_chains
+
+    spec = model.glm_spec
+    assert _warm_ok(model, sampler, runner)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    key, k_init, k_warm, k_samp = jax.random.split(key, 4)
+    states_w, infos_w = _warmup(model, sampler, runner, n_chains,
+                                k_init, k_warm)
+
+    # freeze: the pooled scalars are identical across chains already
+    eps = float(np.asarray(states_w.dual_leap_step)[0])
+    T = float(np.exp(np.asarray(states_w.log_len)[0]))
+    s = _pool_mass(sampler._kind, states_w)
+    d = model.size
+    XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(spec, d, states_w, s)
+
+    steps2 = runner.len - runner.burnin
+    block = _pick_block(n_chains)
+    (thetaF, lpF, gF), infos2 = _chees_run(
+        XT, Y2, pad_chains(jnp.asarray(theta0, jnp.float32), d_pad),
+        jnp.float32(eps), jnp.float32(T), k_samp, d=d, steps=steps2,
+        i0=runner.burnin + 1, max_leaps=sampler.max_leaps,
+        block_chains=block, interpret=interpret, kind=spec.kind,
+        W=W, O=O, lam=lam, lam_vec=lam_vec, integrator=sampler.integrator)
+    infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, s, d,
+                                     extra_keys=("alpha", "epsilon",
+                                                 "nleaps"))
+
+    theta_model = theta_model.astype(states_w.pars.dtype)
+    states = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
+        states_w, theta_model)
+    return infos, states.replace(i=states.i + steps2)

@@ -255,12 +255,12 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                 elif (fused == "auto" and jax.default_backend() == "tpu"
                       and not jax.config.jax_enable_x64):
                     from ..ops.glm_hmc import model_kernel_supported
-                    from ..samplers.hmc import HMC
+                    from ..samplers.chees import ChEESHMC
 
-                    vec = isinstance(t.sampler, HMC) \
-                        and t.sampler._kind is not None
+                    vec = getattr(t.sampler, "_kind", None) is not None
+                    dyn = isinstance(t.sampler, ChEESHMC)
                     use_warm = model_kernel_supported(
-                        t.model, t.sampler, n, vec_prior=vec)
+                        t.model, t.sampler, n, vec_prior=vec, dyn_len=dyn)
         if (use_fused or use_target or use_warm) and fused == "auto":
             import logging
 
@@ -272,9 +272,9 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                 ("warm-start GLM" if use_warm else "custom-target"),
             )
         if use_warm:
-            from ..ops.warmstart import warmfused_hmc_chains
+            from ..ops.warmstart import warmfused_chains
 
-            infos, final_states = warmfused_hmc_chains(
+            infos, final_states = warmfused_chains(
                 t.model, t.sampler, t.runner, n,
                 key=jax.random.fold_in(key, gi),
             )

@@ -120,6 +120,32 @@ def test_warmfused_hmcda_matches_generic():
     assert np.all(np.isfinite(c1.samples.values))
 
 
+def test_warmfused_chees_matches_generic():
+    """ChEES: post-burnin frozen (eps, T) + shared Halton lengths through
+    the dynamic-trip-count kernel must match the generic pooled engine."""
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.ChEESHMC(len0=0.5, max_leaps=64)
+    task = m * s * mc.SerialMC(steps=900, burnin=300)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+
+    c0 = chains_warm[0]
+    for k in ("accept", "alpha", "epsilon", "nleaps"):
+        assert k in c0.diagnostics, k
+    # the sampling phase runs at the shared frozen eps...
+    eps_tail = c0.diagnostics["epsilon"]
+    assert np.ptp(eps_tail) < 1e-12
+    # ...with per-step jittered trajectory lengths
+    assert np.ptp(c0.diagnostics["nleaps"]) > 0
+    assert mc.acceptance(c0) > 40
+    c1 = mc.resume(c0, steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+
+
 def test_freeze_pools_median():
     X, Y = _data()
     m = mc.model(glm=("logistic", X, Y))
