@@ -2,10 +2,12 @@
 tensor derivatives (reference: examples/probit_regression.jl) — the manifold-
 sampler workload (SMMALA / PMALA / RMHMC need tensor/dtensor).
 
-The reference loads the 39-row vaso dataset; by default we synthesize an
-equivalent 2-covariate binary dataset (same shapes), or read the reference's
-``vaso.txt`` if a path is given.
+Loads the reference's own 39-row vaso dataset (examples/vaso.txt, vendored
+verbatim — it is the reference's test fixture, probit_regression.jl:7-16);
+``path=False`` synthesizes an equivalent 2-covariate binary dataset instead.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,10 +16,11 @@ import mcmc_jl_tpu as mc
 from jax.scipy import special as jsp
 
 LOG2PI = np.log(2 * np.pi)
+VASO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vaso.txt")
 
 
-def make_data(seed=3, n=39, path=None):
-    if path is not None:
+def make_data(seed=3, n=39, path=VASO):
+    if path:
         raw = np.loadtxt(path)
         covariates, y = raw[:, :-1], raw[:, -1]
     else:

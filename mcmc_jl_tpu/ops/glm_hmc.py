@@ -99,7 +99,10 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         lp = lp2[:, 0]
         info = {"plogtarget": lp, "accept": acc[:, 0] > 0.5}
         if collect:
-            info.update({"ppars": theta, "pgrads": g})
+            # slice the live d columns INSIDE the scan body: the stacked ys
+            # are the run's dominant HBM footprint, and the padded lanes are
+            # identically zero (d_pad/d is 12.8x at the bench shape)
+            info.update({"ppars": theta[:, :d], "pgrads": g[:, :d]})
         return (theta, lp, g), info
 
     def step_composed(carry, k):
@@ -127,7 +130,7 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         lp = jnp.where(accept, p_lp, lp)
         info = {"plogtarget": lp, "accept": accept}
         if collect:
-            info.update({"ppars": theta, "pgrads": g})
+            info.update({"ppars": theta[:, :d], "pgrads": g[:, :d]})
         return (theta, lp, g), info
 
     step = step_fused if fused_step else step_composed
@@ -167,7 +170,7 @@ def _run_multistep(XT, Y, theta0, eps, key, *, d, n_launches, k_trans,
             integrator=integrator)
         info = {"plogtarget": lp, "accept_rate": acc}
         if collect:
-            info.update({"ppars": theta, "pgrads": g})
+            info.update({"ppars": theta[:, :d], "pgrads": g[:, :d]})
         return theta, info
 
     keys = jax.random.split(key, n_launches)
@@ -291,15 +294,30 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
     kernel on the current backend (used by the prun auto-routing).
     ``vec_prior=True`` probes the per-coordinate-precision variant the
     warm-start mass fold uses; ``dyn_len=True`` the runtime-trip-count
-    variant ChEES needs (ops/warmstart.py)."""
+    variant ChEES needs (ops/warmstart.py).  Datasets beyond the
+    whole-trajectory kernel's VMEM budget probe the N-tiled gradient
+    kernel instead (ops/pallas_glm_bign.py)."""
     from .pallas_glm import _round_up, LANE
 
     spec = model.glm_spec
     if spec is None:
         return False
+    N = spec.X.shape[0]
     d_pad = _round_up(spec.X.shape[1], LANE)
+    from .pallas_glm_bign import BIGN_THRESHOLD, TILE_N, bign_kernel_supported
+
+    if N > BIGN_THRESHOLD:
+        if dyn_len:
+            return False  # ChEES big-N: not yet tiled (generic engine)
+        n_pad = _round_up(N, TILE_N)
+        return bign_kernel_supported(
+            d_pad, n_pad, _pick_block(n_chains), kind=spec.kind,
+            use_w=True,  # tile padding always rides the weight vector
+            use_o=spec.offsets is not None,
+            unit_prior=not vec_prior and float(spec.prior_prec) == 1.0,
+            vec_prior=vec_prior)
     return trajectory_kernel_supported(
-        d_pad, spec.X.shape[0], _pick_block(n_chains), kind=spec.kind,
+        d_pad, N, _pick_block(n_chains), kind=spec.kind,
         use_w=spec.weights is not None, use_o=spec.offsets is not None,
         unit_prior=not vec_prior and float(spec.prior_prec) == 1.0,
         vec_prior=vec_prior, dyn_len=dyn_len, integrator=sampler.integrator)
@@ -510,7 +528,7 @@ def run_glm_hmc_sharded(X, Y, n_chains, steps, mesh=None, axis="chains",
     fn = shard_map(local_run, mesh=mesh,
                    in_specs=(rep, rep, P(axis), P(axis)),
                    out_specs=(P(axis), P(None, axis)),
-                   check_rep=False)
+                   check_vma=False)
     theta, infos = fn(XT, Y2, theta0, run_keys)
     return theta[:, :d], infos
 
@@ -552,6 +570,30 @@ def fused_hmc_chains(model, sampler, runner, n_chains, key, interpret=None,
     assert spec is not None, "fused_hmc_chains requires a model(glm=...) model"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from .pallas_glm_bign import BIGN_THRESHOLD
+
+    if spec.X.shape[0] > BIGN_THRESHOLD:
+        # large-N: the N-tiled gradient kernel streams X^T instead of
+        # replicating it in VMEM (ops/pallas_glm_bign.py)
+        from .pallas_glm_bign import run_glm_hmc_bign
+
+        d = model.size
+        inits = jnp.broadcast_to(jnp.asarray(model.init, jnp.float32),
+                                 (n_chains, d))
+        theta, infos = run_glm_hmc_bign(
+            spec.X, spec.Y, n_chains, runner.len, n_leaps=sampler.n_leaps,
+            eps=sampler.leap_step, key=key, inits=inits,
+            interpret=interpret, kind=spec.kind, weights=spec.weights,
+            offsets=spec.offsets, prior_prec=float(spec.prior_prec),
+            integrator=sampler.integrator, collect=True)
+        from .pallas_glm import _round_up, LANE
+
+        d_pad = _round_up(d, LANE)
+        thetaF = pad_chains(jnp.asarray(theta, jnp.float32), d_pad)
+        gF = pad_chains(infos["pgrads"][-1].astype(jnp.float32), d_pad)
+        states = final_hmc_states(model, sampler, n_chains, runner.len,
+                                  thetaF, infos["plogtarget"][-1], gF)
+        return infos, states
     XT, Y2, d_pad = pad_design(spec.X, spec.Y)
     N = XT.shape[1]
     d = model.size

@@ -323,8 +323,9 @@ def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
         theta = jnp.where(a, p_th, theta)
         g = jnp.where(a, p_g, g)
         lp = jnp.where(accept, p_lp, lp)
-        info = {"ppars": theta, "pgrads": g, "plogtarget": lp,
-                "accept": accept, "alpha": alpha,
+        # live d columns only: the stacked ys dominate the HBM footprint
+        info = {"ppars": theta[:, :d], "pgrads": g[:, :d],
+                "plogtarget": lp, "accept": accept, "alpha": alpha,
                 "epsilon": jnp.broadcast_to(eps, (C,)),
                 "nleaps": jnp.broadcast_to(nl, (C,))}
         return (theta, lp, g), info

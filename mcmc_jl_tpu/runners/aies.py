@@ -111,8 +111,12 @@ def _aies_scan(model_eval, pars, lp, key, *, steps, a, d):
     return (pars, lp), ys
 
 
-def run_aies(model, runner: AIES, seed: int = 0, key=None):
-    """Run the stretch-move ensemble; returns one chain per walker."""
+def run_aies(model, runner: AIES, seed: int = 0, key=None,
+             _carry_state=None, _pos=0):
+    """Run the stretch-move ensemble; returns one chain per walker.
+
+    ``_carry_state``: a ``(pars (W, d), lp (W,))`` ensemble to continue from
+    (the resume path) instead of a fresh init ball."""
     t0 = time.time()
     if key is None:
         key = jax.random.PRNGKey(seed)
@@ -123,12 +127,19 @@ def run_aies(model, runner: AIES, seed: int = 0, key=None):
         f"AIES needs walkers >= 2*(d+1) = {2 * (d + 1)} for a {d}-D model "
         f"(complementary half must span the space); got {W}"
     )
-    scale = jnp.broadcast_to(jnp.asarray(model.scale, dtype=model.init.dtype),
-                             (d,))
-    pars0 = model.init + runner.jitter * scale * jax.random.normal(
-        k_init, (W, d), dtype=model.init.dtype
-    )
-    lp0 = jax.vmap(model.eval)(pars0)
+    if _carry_state is not None:
+        pars0, lp0 = (jnp.asarray(_carry_state[0]),
+                      jnp.asarray(_carry_state[1]))
+        assert pars0.shape == (W, d), (
+            f"carried ensemble shape {pars0.shape} != (walkers, d) = "
+            f"({W}, {d})")
+    else:
+        scale = jnp.broadcast_to(
+            jnp.asarray(model.scale, dtype=model.init.dtype), (d,))
+        pars0 = model.init + runner.jitter * scale * jax.random.normal(
+            k_init, (W, d), dtype=model.init.dtype
+        )
+        lp0 = jax.vmap(model.eval)(pars0)
 
     (pars, lp), ys = _aies_scan(
         model.eval, pars0, lp0, k_run, steps=runner.steps, a=runner.a, d=d
@@ -144,7 +155,7 @@ def run_aies(model, runner: AIES, seed: int = 0, key=None):
     def one_chain(w):
         task = MCMCTask(model, None, runner,
                         state=(jnp.asarray(pars_h), jnp.asarray(lp_h)),
-                        key=key, pos=runner.steps)
+                        key=key, pos=_pos + runner.steps)
         return MCMCChain(
             range=range(runner.burnin + 1, runner.steps + 1),
             samples=Table(samples[keep, w], cn),
@@ -158,3 +169,16 @@ def run_aies(model, runner: AIES, seed: int = 0, key=None):
         )
 
     return [one_chain(w) for w in range(W)]
+
+
+def resume_aies(task: MCMCTask, steps: int = 100):
+    """Exact continuation of the whole walker ensemble (the task of every
+    per-walker chain carries the full ``(pars, lp)`` ensemble state — the
+    ensemble moves together, so resuming any chain resumes all walkers).
+    Returns the full list of per-walker chains, like :func:`run_aies`."""
+    assert isinstance(task.runner, AIES)
+    assert task.state is not None, "AIES task has no stored ensemble state"
+    runner = dataclasses.replace(task.runner, steps=steps, burnin=0)
+    return run_aies(task.model, runner,
+                    key=jax.random.fold_in(task.key, task.pos),
+                    _carry_state=task.state, _pos=task.pos)

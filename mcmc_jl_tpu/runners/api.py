@@ -85,7 +85,8 @@ def resume(x, *, steps: int = 100, **kwargs):
     if isinstance(x, MCMCChain):
         return resume(x.task, steps=steps, **kwargs)
     if isinstance(x, (list, tuple)):
-        first = x[-1].runner
+        last = x[-1]
+        first = last.task.runner if isinstance(last, MCMCChain) else last.runner
         if isinstance(first, SerialMC):
             return [resume(t, steps=steps, **kwargs) for t in x]
         from .serialtempmc import SerialTempMC, resume_serialtempmc
@@ -95,6 +96,16 @@ def resume(x, *, steps: int = 100, **kwargs):
             return resume_serialtempmc(list(x), steps=steps, **kwargs)
         if isinstance(first, SeqMC):
             return resume_seqmc(list(x), steps=steps, **kwargs)
+        from .ptmc import PTMC
+
+        if isinstance(first, PTMC):  # walkers > 1: one ladder per chain
+            return [resume(t, steps=steps, **kwargs) for t in x]
+        from .aies import AIES
+
+        if isinstance(first, AIES):
+            # every walker chain carries the SAME full-ensemble state:
+            # resume once, return the whole new walker-chain list
+            return resume(x[-1], steps=steps, **kwargs)
         raise TypeError(f"unknown runner type {type(first).__name__}")
     assert isinstance(x, MCMCTask)
     if isinstance(x.runner, SerialMC):
@@ -103,6 +114,14 @@ def resume(x, *, steps: int = 100, **kwargs):
 
     if isinstance(x.runner, PTMC):
         return resume_ptmc(x, steps=steps, **kwargs)
+    from .aies import AIES, resume_aies
+
+    if isinstance(x.runner, AIES):
+        return resume_aies(x, steps=steps)
+    from .asmc import ASMC, resume_asmc
+
+    if isinstance(x.runner, ASMC):
+        return resume_asmc(x, steps=steps)
     raise TypeError(f"unknown runner type {type(x.runner).__name__}")
 
 

@@ -234,8 +234,61 @@ def run_asmc(model, sampler, runner: ASMC, seed: int = 0, key=None,
             "ess": np.asarray(out["ess"])[:n_stages],
             "accept": np.asarray(out["accept"])[:n_stages],
         },
-        task=MCMCTask(model, sampler, runner, state=None, key=key,
+        # the final (equalized) particle ensemble IS the resumable state:
+        # beta has reached 1, so continuation = more MCMC rejuvenation moves
+        # at the full posterior (resume_asmc)
+        task=MCMCTask(model, sampler, runner, state=out["pars"], key=key,
                       pos=n_stages),
         run_time=time.time() - t0,
     )
     return chain
+
+
+def resume_asmc(task: MCMCTask, steps: int = 10):
+    """Continue an annealed-SMC chain: the stored state is the final
+    (unweighted) particle ensemble at beta=1, so resuming runs ``steps``
+    more vmapped MCMC rejuvenation sweeps at the FULL posterior and returns
+    a chain over the refreshed ensemble.  ``logz`` and the adaptive
+    schedule diagnostics carry over unchanged (the annealing is complete —
+    more moves only decorrelate the particles further)."""
+    assert isinstance(task.runner, ASMC)
+    assert task.state is not None, "ASMC task has no stored ensemble"
+    model, sampler, runner = task.model, task.sampler, task.runner
+    t0 = time.time()
+    th = jnp.asarray(task.state)
+    N = th.shape[0]
+    key = jax.random.fold_in(task.key, task.pos)
+    k_init, k_run = jax.random.split(key)
+    states = jax.vmap(lambda t, k: sampler.init(model, t, k))(
+        th, jax.random.split(k_init, N))
+    ctx = RunCtx(burnin=0)
+
+    @partial(jax.jit, static_argnames=("sampler", "nsteps"))
+    def moves(sampler, states, key, nsteps):
+        def body(c, k):
+            states, acc = c
+            ks = jax.random.split(k, N)
+            states, infos = jax.vmap(
+                lambda s, kk: sampler.step(model, ctx, s, kk)
+            )(states, ks)
+            return (states, acc + jnp.mean(
+                infos["accept"].astype(th.dtype))), None
+
+        (states, acc), _ = jax.lax.scan(
+            body, (states, jnp.zeros((), th.dtype)),
+            jax.random.split(key, nsteps))
+        return states, acc / nsteps
+
+    states, acc = moves(sampler, states, k_run, steps)
+    th_new = states.pars
+    cn = model.column_names()
+    diags = {"accept": float(acc), "resumed_moves": steps}
+    return MCMCChain(
+        range=range(1, N + 1),
+        samples=Table(np.asarray(th_new), cn),
+        gradients=Table(np.zeros((0, model.size)), cn),
+        diagnostics=diags,
+        task=MCMCTask(model, sampler, runner, state=th_new, key=key,
+                      pos=task.pos + steps),
+        run_time=time.time() - t0,
+    )

@@ -71,3 +71,27 @@ def test_aies_validation():
         mc.AIES(a=1.0)  # stretch scale must exceed 1
     with pytest.raises(AssertionError):  # walkers < 2(d+1)
         mc.run(m * mc.AIES(steps=10, walkers=8), seed=0)
+
+
+def test_aies_resume_continues_ensemble():
+    """resume() on any walker chain continues the WHOLE ensemble from the
+    stored (pars, lp) state (VERDICT r2 weak #5: every shipped runner must
+    resume)."""
+    m = mc.model(lambda v: -0.5 * jnp.dot(v, v), init=jnp.zeros(2),
+                 check_init=False)
+    chains = mc.run(m * mc.AIES(steps=400, burnin=100, walkers=16), seed=0)
+    pars0, lp0 = chains[0].task.state
+    cont = mc.resume(chains[0], steps=200)
+    assert len(cont) == 16
+    assert cont[0].samples.nrow == 200
+    # continuation starts from the stored ensemble, not a fresh init ball
+    first = np.stack([c.samples.values[0] for c in cont])
+    spread0 = np.abs(first - np.asarray(pars0)).max()
+    assert spread0 < 3.0  # one stretch move away, not re-jittered at init
+    # deterministic: same task -> bitwise same continuation
+    cont2 = mc.resume(chains[3], steps=200)  # any walker's chain works
+    np.testing.assert_array_equal(cont[5].samples.values,
+                                  cont2[5].samples.values)
+    # list form resumes once and returns the new walker list
+    cont3 = mc.resume(chains, steps=50)
+    assert len(cont3) == 16 and cont3[0].samples.nrow == 50

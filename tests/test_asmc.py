@@ -110,3 +110,25 @@ def test_asmc_sharded_over_mesh():
     assert abs(chain.diagnostics["logz"] - logz) < 0.3
     x = chain.samples.values[:, 0]
     assert abs(x.mean() - mu) < 0.1
+
+
+def test_asmc_resume_rejuvenates_at_full_posterior():
+    """resume() on an ASMC chain runs more MCMC moves at beta=1 on the
+    stored final ensemble; posterior moments are preserved and the
+    continuation is deterministic in the task."""
+    logp, logprior, prior_sample, logz, post_mean, post_sd = _conjugate()
+    m = mc.model(logp, gradient=True, init=jnp.zeros(1), check_init=False)
+    r = mc.ASMC(particles=512, logprior=logprior, prior_sample=prior_sample)
+    c = mc.run(m * mc.RWM(0.5) * r, seed=0)
+    assert c.task.state is not None and c.task.state.shape == (512, 1)
+
+    c2 = mc.resume(c, steps=20)
+    x = c2.samples.values[:, 0]
+    assert abs(x.mean() - post_mean) < 6 * post_sd / np.sqrt(100) + 0.05
+    assert abs(x.std() - post_sd) < 0.1
+    assert c2.diagnostics["accept"] > 0.1
+    c3 = mc.resume(c, steps=20)
+    np.testing.assert_array_equal(c2.samples.values, c3.samples.values)
+    # and the resumed chain resumes again (state carried forward)
+    c4 = mc.resume(c2, steps=5)
+    assert np.all(np.isfinite(c4.samples.values))

@@ -65,6 +65,25 @@ jax.jit(lambda th, sc, seeds: fused_target_rwm_steps(
     noise="hw")).lower(
     f32((128, LANE), jnp.float32), f32((1, LANE), jnp.float32),
     jax.ShapeDtypeStruct((1,), jnp.int32)).compile()
+
+# round-3 kernel variants: vector prior (warm-start mass fold), dynamic
+# trip count (ChEES), and both combined
+from mcmc_jl_tpu.ops.glm_hmc import trajectory_kernel_supported
+assert trajectory_kernel_supported(LANE, 1000, 256, unit_prior=False,
+                                   vec_prior=True), "vec-prior traj kernel"
+assert trajectory_kernel_supported(LANE, 1000, 256, dyn_len=True), \
+    "dyn-len traj kernel"
+assert trajectory_kernel_supported(LANE, 1000, 256, unit_prior=False,
+                                   vec_prior=True, dyn_len=True), \
+    "vec+dyn traj kernel"
+
+# multi-transition custom-target kernel (in-kernel hardware PRNG)
+from mcmc_jl_tpu.ops.pallas_target import _multistep_inner
+jax.jit(lambda th, seeds, eps: _multistep_inner(
+    th, seeds, eps, logp_block=blockfn, d=4, n_leaps=3, k_trans=5,
+    block_chains=128)).lower(
+    f32((128, LANE), jnp.float32), jax.ShapeDtypeStruct((1,), jnp.int32),
+    f32((), jnp.float32)).compile()
 print("OK")
 """
 
