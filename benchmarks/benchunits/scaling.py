@@ -1,28 +1,48 @@
 """Chain-parallel scaling benchmark unit.
 
-Measures sampling throughput (RWM steps/s over all chains) as chains are
-sharded over 1, 2, ..., all available devices, reporting scaling efficiency
-vs the single-device rate — the BASELINE.md ">=80% at 2 hosts" metric,
-exercised here on whatever mesh is present (virtual CPU devices in CI, TPU
-chips on hardware; chains are communication-free so chip- and host-scaling
-behave identically)."""
+Two kinds of evidence for the BASELINE.md ">=80% efficiency at 2 hosts"
+gate:
+
+1. **Measured weak-scaling** (pinned per-device work, median-of-5): RWM/HMC
+   steps/s as chains shard over 1, 2, ..., devices.  NOTE the host bound:
+   in CI the "devices" are XLA virtual CPU devices multiplexed onto 2
+   physical vCPUs, so measured efficiency beyond 2 devices reflects host
+   oversubscription, not the sharded program (chip- and host-scaling of the
+   compiled program itself are identical because...)
+
+2. **The collective-free property, checked structurally**: the compiled
+   HLO of the sharded hot loop is searched for cross-device collectives
+   (all-reduce / all-gather / collective-permute / all-to-all /
+   reduce-scatter).  Chains are independent, so the sampling path must
+   compile to ZERO collectives — the per-device programs are the
+   single-device program, which is exactly why linear scaling holds on
+   real multi-chip/multi-host meshes (SURVEY §3.5).  This gate is
+   deterministic and host-independent; pooled adaptation (the one
+   collective-bearing option) is measured as its own row for contrast.
+"""
+import re
 import time
 
 import numpy as np
+
+_COLLECTIVES = re.compile(
+    r"all-reduce|all-gather|collective-permute|all-to-all|reduce-scatter")
 
 
 def run():
     import jax
     import jax.numpy as jnp
+    from jax.sharding import Mesh
 
     import mcmc_jl_tpu as mc
     from mcmc_jl_tpu.parallel import run_chains
-    from jax.sharding import Mesh
+    from mcmc_jl_tpu.parallel.pchains import _scan_chains, init_chains
+    from mcmc_jl_tpu.samplers.base import RunCtx
 
     model = mc.model(lambda v: -jnp.dot(v, v), grad=lambda v: -2 * v,
                      init=jnp.ones(8), check_init=False)
     sampler = mc.HMC(5, 0.2)
-    steps = 200
+    steps = 300
     runner = mc.SerialMC(steps=steps)
     devices = jax.devices()
     chains_per_dev = 64
@@ -33,7 +53,7 @@ def run():
         r = run_chains(model, sampler, runner, n_chains, seed=0, mesh=mesh)
         jax.block_until_ready(r[0]["plogtarget"])
         ts = []
-        for rep in range(3):
+        for rep in range(5):
             t0 = time.perf_counter()
             r = run_chains(model, sampler, runner, n_chains, seed=rep + 1,
                            mesh=mesh)
@@ -50,8 +70,39 @@ def run():
         if nd == 1:
             base = r
         elif base:
+            import os
+
+            hostbound = (jax.default_backend() == "cpu"
+                         and nd >= (os.cpu_count() or 2))
             out.append((
-                f"scaling: efficiency at {nd} device(s)",
+                f"scaling: efficiency at {nd} device(s)"
+                + (" (HOST-BOUND: virtual devices + runtime share "
+                   f"{os.cpu_count()} vCPUs; gate on the collectives row)"
+                   if hostbound else ""),
                 r / (base * nd) * 100.0, "%",
             ))
+
+    # --- structural gate: zero collectives in the sharded sampling loop --
+    def hlo_collectives(pool):
+        nd = min(2, len(devices))
+        mesh = Mesh(np.array(devices[:nd]), ("chains",))
+        n_chains = chains_per_dev * nd
+        states = init_chains(model, sampler, n_chains,
+                             jax.random.PRNGKey(0), mesh=mesh)
+        lowered = jax.jit(
+            lambda s, k: _scan_chains(model, sampler, RunCtx(burnin=0), s,
+                                      k, 10, pool_adaptation=pool)
+        ).lower(states, jax.random.PRNGKey(1))
+        return len(_COLLECTIVES.findall(lowered.compile().as_text()))
+
+    n_free = hlo_collectives(False)
+    out.append(("scaling: collectives in the sharded sampling loop "
+                "(must be 0 -> linear scaling on hardware)",
+                float(n_free), "ops"))
+    assert n_free == 0, (
+        f"sharded sampling loop compiled {n_free} collectives — chain "
+        f"independence broken")
+    # contrast: pooled adaptation is the one collective-bearing option
+    out.append(("scaling: collectives with pool_adaptation=True (contrast)",
+                float(hlo_collectives(True)), "ops"))
     return out
