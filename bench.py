@@ -58,7 +58,10 @@ def _bench_tpu(X, Y, multistep=True):
     # near the 16M scoped-vmem limit, 16384/2048 + 32768/1024 OOM;
     # multistep k_trans 25 and 50 time identically at blk=1024)
     C, steps, n_leaps, blk = 16384, 2000, 10, 1024
-    k_trans = 50
+    # k_trans sweep on v5e (round 3): 50 -> 189.9M, 200 -> 192.8M
+    # leapfrog/s (2048-chain blocks no better); 10 launches of 200
+    # in-kernel transitions amortize the remaining per-launch overhead
+    k_trans = 200
 
     @partial(jax.jit, static_argnames=("ms",))
     def go(key, ms=False):

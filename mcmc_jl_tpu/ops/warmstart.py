@@ -56,6 +56,9 @@ def _warm_ok(model, sampler, runner):
         return False
     if runner.burnin < 1 or runner.len <= runner.burnin:
         return False
+    from .pallas_glm_bign import BIGN_THRESHOLD
+
+    big_n = model.glm_spec.X.shape[0] > BIGN_THRESHOLD
     s = sampler
     if isinstance(s, HMC):
         if s.store_leaps or s.integrator not in ("leapfrog", "2stage",
@@ -70,7 +73,9 @@ def _warm_ok(model, sampler, runner):
     if isinstance(s, ChEESHMC):
         # post-burnin ChEES is fixed-eps HMC with shared Halton-jittered
         # trajectory lengths: the dynamic-trip-count kernel serves it
-        return s.integrator in ("leapfrog", "2stage", "3stage")
+        # (not yet wired for the N-tiled large-N driver)
+        return (not big_n
+                and s.integrator in ("leapfrog", "2stage", "3stage"))
     return False
 
 
@@ -121,11 +126,12 @@ def _warmup(model, sampler, runner, n_chains, k_init, k_warm):
     return _scan_chains(model, sampler, ctx, states0, k_warm, runner.burnin)
 
 
-def _fold(spec, model_size, states_w, s):
+def _fold(spec, model_size, states_w, s, tiled=False):
     """Phase 2 fold: reparameterize ``theta = S z`` so the z-space posterior
     is again a GLM the kernel runs at unit mass.  Returns the kernel-side
     quantities ``(XT, Y2, d_pad, theta0 (C, d) z-space, lam, lam_vec, W,
-    O)``."""
+    O)``.  ``tiled=True`` builds the large-N layout (pad_design_tiled:
+    observation padding rides a zero-weight vector)."""
     from .pallas_glm import pad_design
 
     X = np.asarray(spec.X, np.float64)
@@ -137,18 +143,32 @@ def _fold(spec, model_size, states_w, s):
         theta0 = theta_w / s[None, :]
     else:
         Xs, theta0 = X, theta_w
-    XT, Y2, d_pad = pad_design(Xs, spec.Y)
-    N = XT.shape[1]
+    if tiled:
+        from .pallas_glm_bign import pad_design_tiled
+
+        XT, Y2, W, d_pad, N_real = pad_design_tiled(
+            Xs, spec.Y, weights=spec.weights)
+        if spec.offsets is not None:
+            O = np.zeros((1, XT.shape[1]), np.float32)
+            O[0, :N_real] = np.asarray(spec.offsets).reshape(N_real)
+            O = jnp.asarray(O)
+        else:
+            O = None
+    else:
+        XT, Y2, d_pad = pad_design(Xs, spec.Y)
+        N = XT.shape[1]
+        W = (None if spec.weights is None
+             else jnp.reshape(jnp.asarray(spec.weights, jnp.float32),
+                              (1, N)))
+        O = (None if spec.offsets is None
+             else jnp.reshape(jnp.asarray(spec.offsets, jnp.float32),
+                              (1, N)))
     if s is not None:
         lam_vec = jnp.asarray(
             np.concatenate([lam * s * s, np.ones(d_pad - d)]),
             jnp.float32).reshape(1, d_pad)
     else:
         lam_vec = None
-    W = (None if spec.weights is None
-         else jnp.reshape(jnp.asarray(spec.weights, jnp.float32), (1, N)))
-    O = (None if spec.offsets is None
-         else jnp.reshape(jnp.asarray(spec.offsets, jnp.float32), (1, N)))
     return XT, Y2, d_pad, theta0, lam, lam_vec, W, O
 
 
@@ -215,18 +235,34 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
                                 k_init, k_warm)
     eps, nl, s = _freeze(sampler, states_w)
     d = model.size
-    XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(spec, d, states_w, s)
+    from .pallas_glm_bign import BIGN_THRESHOLD
+
+    big_n = spec.X.shape[0] > BIGN_THRESHOLD
+    XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(spec, d, states_w, s,
+                                                      tiled=big_n)
 
     # ---- phase 3: fused sampling -----------------------------------------
     steps2 = runner.len - runner.burnin
     block = _pick_block(n_chains)
-    (thetaF, lpF, gF), infos2 = _run(
-        XT, Y2, pad_chains(jnp.asarray(theta0, jnp.float32), d_pad),
-        jnp.float32(eps), k_samp, d=d, steps=steps2, n_leaps=nl,
-        block_chains=block, interpret=interpret, kind=spec.kind,
-        W=W, O=O, lam=lam, lam_vec=lam_vec, collect=True,
-        integrator=sampler.integrator, fused_step=False,
-    )
+    theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+    if big_n:
+        # large-N: the N-tiled gradient kernel (pallas_glm_bign) carries
+        # the frozen metric through the same lam_vec fold
+        from .pallas_glm_bign import TILE_N, _run_bign
+
+        (thetaF, lpF, gF), infos2 = _run_bign(
+            XT, Y2, theta0p, jnp.float32(eps), k_samp, d=d, steps=steps2,
+            n_leaps=nl, tile_n=TILE_N, block_chains=block,
+            interpret=interpret, kind=spec.kind, W=W, O=O, lam=lam,
+            lam_vec=lam_vec, integrator=sampler.integrator, collect=True)
+    else:
+        (thetaF, lpF, gF), infos2 = _run(
+            XT, Y2, theta0p,
+            jnp.float32(eps), k_samp, d=d, steps=steps2, n_leaps=nl,
+            block_chains=block, interpret=interpret, kind=spec.kind,
+            W=W, O=O, lam=lam, lam_vec=lam_vec, collect=True,
+            integrator=sampler.integrator, fused_step=False,
+        )
     infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, s, d)
 
     # ---- final states: warmup pytrees + fused position, frozen tune ------

@@ -24,13 +24,30 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the suite re-jits many (sampler, model) pairs
-# CPU-only cache dir: the TPU remote-compile helper writes CPU AOT entries
-# with a different machine-feature set into the shared dir
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache: on this box the axon sitecustomize routes
+# even CPU compiles through the remote-compile helper, whose executables
+# run fine in-process but SEGFAULT on disk-cache deserialization
+# (backend.deserialize_executable inside
+# compilation_cache.get_executable_and_time — reproduced at full-suite
+# scale with both shared and fresh private cache dirs).  Compiling fresh
+# each run costs ~1 min over the warm-cache time and is deterministic.
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled executables between test modules.
+
+    The XLA CPU compiler segfaults (deterministically, inside
+    backend_compile_and_load on the heaviest program, RMLMC) once a single
+    process has accumulated the full suite's worth of live executables —
+    reproduced with and without the persistent cache and with and without
+    the axon plugin.  Releasing executables per module keeps the process
+    well under the limit; cross-module jit reuse is minimal so the time
+    cost is noise."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

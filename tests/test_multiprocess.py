@@ -133,7 +133,9 @@ def test_two_process_jax_distributed_psum():
     outs = []
     try:
         for p in procs:
-            stdout, stderr = p.communicate(timeout=300)
+            # generous timeout: the jax.distributed handshake + 2 child
+            # compiles share the 2-vCPU host with the pytest process
+            stdout, stderr = p.communicate(timeout=540)
             outs.append((p.returncode, stdout, stderr))
     finally:
         for p in procs:

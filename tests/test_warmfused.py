@@ -146,6 +146,28 @@ def test_warmfused_chees_matches_generic():
     assert np.all(np.isfinite(c1.samples.values))
 
 
+def test_warmfused_bign_route(monkeypatch):
+    """Adaptive HMC on a 'large-N' GLM (threshold lowered for test size)
+    runs its sampling phase through the N-tiled driver, metric fold
+    included, and matches the generic engine."""
+    import mcmc_jl_tpu.ops.pallas_glm_bign as bn
+
+    monkeypatch.setattr(bn, "BIGN_THRESHOLD", 100)
+    monkeypatch.setattr(bn, "TILE_N", 64)
+    X, Y = _data(n=150)
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=50),
+               mass_adapt="diag")
+    task = m * s * mc.SerialMC(steps=700, burnin=250)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+    c1 = mc.resume(chains_warm[0], steps=50)
+    assert np.all(np.isfinite(c1.samples.values))
+
+
 def test_freeze_pools_median():
     X, Y = _data()
     m = mc.model(glm=("logistic", X, Y))
