@@ -114,14 +114,15 @@ def _freeze(sampler, states_w):
     return eps, nl, None
 
 
-def _warmup(model, sampler, runner, n_chains, k_init, k_warm):
+def _warmup(model, sampler, runner, n_chains, k_init, k_warm, mesh=None):
     """Phase 1: the adaptive warmup on the generic vmapped engine (the
     sampler's own per-chain/pooled adaptation, identical to a non-fused
-    run)."""
+    run); chains optionally sharded over ``mesh`` (XLA partitions the
+    vmapped scan)."""
     from ..parallel.pchains import _scan_chains, init_chains
     from ..samplers.base import RunCtx
 
-    states0 = init_chains(model, sampler, n_chains, k_init)
+    states0 = init_chains(model, sampler, n_chains, k_init, mesh=mesh)
     ctx = RunCtx(burnin=runner.burnin)
     return _scan_chains(model, sampler, ctx, states0, k_warm, runner.burnin)
 
@@ -197,19 +198,22 @@ def _unfold_cat(infos_w, infos2, thetaF, s, d, extra_keys=()):
     return infos, theta_model
 
 
-def warmfused_chains(model, sampler, runner, n_chains, key, interpret=None):
+def warmfused_chains(model, sampler, runner, n_chains, key, interpret=None,
+                     mesh=None):
     """Front door: dispatch the warm-start pipeline by sampler family."""
     from ..samplers.chees import ChEESHMC
 
     if isinstance(sampler, ChEESHMC):
+        # ChEES sampling phase is not mesh-wrapped yet; warmup+sampling run
+        # unsharded (callers with a mesh fall back in the prun routing)
         return warmfused_chees_chains(model, sampler, runner, n_chains, key,
                                       interpret=interpret)
     return warmfused_hmc_chains(model, sampler, runner, n_chains, key,
-                                interpret=interpret)
+                                interpret=interpret, mesh=mesh)
 
 
 def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
-                         interpret=None):
+                         interpret=None, mesh=None):
     """Adaptive warmup on the generic engine + fused-kernel sampling phase.
 
     Returns ``(infos, final_states)`` protocol-compatible with
@@ -218,6 +222,11 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
     kernel) with the post-accept keys ``ppars/pgrads/plogtarget/accept``;
     final states carry the adaptation pytrees (frozen at the pooled values)
     so ``resume`` continues bit-coherently at the same hyper-parameters.
+
+    ``mesh``: shard the chain axis — the warmup scan partitions via XLA,
+    the sampling phase runs the kernel per device under ``shard_map`` with
+    per-device PRNG streams (the warm-start analog of
+    :func:`mcmc_jl_tpu.ops.glm_hmc.run_glm_hmc_sharded`).
     """
     from ..samplers.base import TuneState
     from ..samplers.hmc import HMC
@@ -232,7 +241,7 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
 
     key, k_init, k_warm, k_samp = jax.random.split(key, 4)
     states_w, infos_w = _warmup(model, sampler, runner, n_chains,
-                                k_init, k_warm)
+                                k_init, k_warm, mesh=mesh)
     eps, nl, s = _freeze(sampler, states_w)
     d = model.size
     from .pallas_glm_bign import BIGN_THRESHOLD
@@ -255,6 +264,35 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
             n_leaps=nl, tile_n=TILE_N, block_chains=block,
             interpret=interpret, kind=spec.kind, W=W, O=O, lam=lam,
             lam_vec=lam_vec, integrator=sampler.integrator, collect=True)
+    elif mesh is not None and mesh.devices.size > 1:
+        # mesh-sharded sampling phase: each device runs the fused kernel
+        # on its local chain shard (chains independent: no collectives)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        assert n_chains % n_dev == 0, (
+            f"n_chains ({n_chains}) must divide the '{axis}' mesh axis "
+            f"({n_dev}) for the warm-start sharded sampling phase")
+        block_l = _pick_block(n_chains // n_dev)
+        run_keys = jax.vmap(lambda i: jax.random.fold_in(k_samp, i))(
+            jnp.arange(n_dev))
+
+        def local_run(th0, keys):
+            return _run(
+                XT, Y2, th0, jnp.float32(eps), keys[0], d=d, steps=steps2,
+                n_leaps=nl, block_chains=block_l, interpret=interpret,
+                kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
+                collect=True, integrator=sampler.integrator,
+                fused_step=False)
+
+        fn = shard_map(local_run, mesh=mesh,
+                       in_specs=(P(axis), P(axis)),
+                       out_specs=((P(axis), P(axis), P(axis)),
+                                  P(None, axis)),
+                       check_vma=False)
+        (thetaF, lpF, gF), infos2 = fn(theta0p, run_keys)
     else:
         (thetaF, lpF, gF), infos2 = _run(
             XT, Y2, theta0p,

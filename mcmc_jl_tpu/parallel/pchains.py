@@ -276,7 +276,7 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
 
             infos, final_states = warmfused_chains(
                 t.model, t.sampler, t.runner, n,
-                key=jax.random.fold_in(key, gi),
+                key=jax.random.fold_in(key, gi), mesh=mesh,
             )
         elif use_fused:
             from ..ops.glm_hmc import fused_hmc_chains

@@ -168,6 +168,35 @@ def test_warmfused_bign_route(monkeypatch):
     assert np.all(np.isfinite(c1.samples.values))
 
 
+def test_warmfused_sharded_matches_unsharded_stats():
+    """Warm-start pipeline over an 8-device mesh: warmup scan partitioned
+    by XLA, sampling phase shard_map'd per device — statistics match the
+    unsharded pipeline."""
+    from mcmc_jl_tpu.ops.warmstart import warmfused_hmc_chains
+    from mcmc_jl_tpu.parallel.pchains import default_mesh
+
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=50))
+    r = mc.SerialMC(steps=700, burnin=250)
+    mesh = default_mesh()
+    assert mesh.devices.size == 8
+
+    infos_m, states_m = warmfused_hmc_chains(m, s, r, 16,
+                                             jax.random.PRNGKey(0),
+                                             mesh=mesh)
+    infos_u, states_u = warmfused_hmc_chains(m, s, r, 16,
+                                             jax.random.PRNGKey(0))
+    a = np.asarray(infos_m["ppars"])[r.burnin:]
+    b = np.asarray(infos_u["ppars"])[r.burnin:]
+    assert a.shape == b.shape == (450, 16, 4)
+    se = b.reshape(-1, 4).std(0) / 15  # crude pooled MC scale
+    assert np.all(np.abs(a.reshape(-1, 4).mean(0) - b.reshape(-1, 4).mean(0))
+                  < 6 * se + 0.05)
+    # final states carry the frozen tuner on every shard
+    assert np.all(np.asarray(states_m.tune.step_size) > 0)
+
+
 def test_freeze_pools_median():
     X, Y = _data()
     m = mc.model(glm=("logistic", X, Y))
