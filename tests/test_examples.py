@@ -238,3 +238,15 @@ def test_eight_schools_matches_exact_quadrature():
 def test_acc_outside_trace_raises():
     with pytest.raises(RuntimeError):
         mc.acc(1.0)
+
+
+def test_warmstart_example():
+    """examples/warmstart_logistic.py: adaptive HMC through the warm-start
+    pipeline recovers the generating coefficients."""
+    import warmstart_logistic as ws
+
+    chains = ws.main(n=200, nbeta=4, chains=4, steps=600, burnin=200)
+    X, Y, beta0 = ws.make_data(200, 4)
+    pooled = np.mean([c.samples.values.mean(0) for c in chains], axis=0)
+    sd = np.mean([np.sqrt(mc.var(c)) for c in chains], axis=0)
+    assert np.all(np.abs(pooled - beta0) < 5 * sd + 0.5), (pooled, beta0)
