@@ -42,7 +42,7 @@ TILE_N = 8192
 
 
 def _grad_kernel(*refs, mxu_dtype, kind, use_w, use_o, unit_prior,
-                 vec_prior, n_tiles):
+                 vec_prior):
     """Accumulate one observation tile's (log-lik, gradient) contribution.
 
     Grid = (chain blocks, obs tiles); obs is the fast (sequential) axis, so
@@ -146,8 +146,8 @@ def glm_logp_grad_tiled(XT, Y, theta, *, tile_n=TILE_N, block_chains=256,
     g, lp = pl.pallas_call(
         functools.partial(_grad_kernel, mxu_dtype=mxu_dtype, kind=kind,
                           use_w=_use_w, use_o=_use_o,
-                          unit_prior=_unit_prior, vec_prior=_vec_prior,
-                          n_tiles=n_tiles),
+                          unit_prior=_unit_prior,
+                          vec_prior=_vec_prior),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
