@@ -204,10 +204,8 @@ def warmfused_chains(model, sampler, runner, n_chains, key, interpret=None,
     from ..samplers.chees import ChEESHMC
 
     if isinstance(sampler, ChEESHMC):
-        # ChEES sampling phase is not mesh-wrapped yet; warmup+sampling run
-        # unsharded (callers with a mesh fall back in the prun routing)
         return warmfused_chees_chains(model, sampler, runner, n_chains, key,
-                                      interpret=interpret)
+                                      interpret=interpret, mesh=mesh)
     return warmfused_hmc_chains(model, sampler, runner, n_chains, key,
                                 interpret=interpret, mesh=mesh)
 
@@ -410,12 +408,15 @@ def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
 
 
 def warmfused_chees_chains(model, sampler, runner, n_chains, key,
-                           interpret=None):
+                           interpret=None, mesh=None):
     """ChEES-HMC warm-start pipeline (same contract as
     :func:`warmfused_hmc_chains`): cross-chain pooled adaptation (dual
     averaging + Adam on log T + optional diag mass) runs on the generic
     engine for the burn-in window; the frozen ``(eps, T, metric)`` drive the
-    dynamic-length fused kernel for the sampling phase."""
+    dynamic-length fused kernel for the sampling phase.  ``mesh`` shards
+    the chain axis (sampling phase shard_map'd per device — the Halton
+    sequence depends only on the step index, so every shard integrates the
+    same shared trajectory lengths)."""
     from .glm_hmc import _pick_block
     from .pallas_glm import pad_chains
 
@@ -426,7 +427,7 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
 
     key, k_init, k_warm, k_samp = jax.random.split(key, 4)
     states_w, infos_w = _warmup(model, sampler, runner, n_chains,
-                                k_init, k_warm)
+                                k_init, k_warm, mesh=mesh)
 
     # freeze: the pooled scalars are identical across chains already
     eps = float(np.asarray(states_w.dual_leap_step)[0])
@@ -436,13 +437,39 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
     XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(spec, d, states_w, s)
 
     steps2 = runner.len - runner.burnin
-    block = _pick_block(n_chains)
-    (thetaF, lpF, gF), infos2 = _chees_run(
-        XT, Y2, pad_chains(jnp.asarray(theta0, jnp.float32), d_pad),
-        jnp.float32(eps), jnp.float32(T), k_samp, d=d, steps=steps2,
-        i0=runner.burnin + 1, max_leaps=sampler.max_leaps,
-        block_chains=block, interpret=interpret, kind=spec.kind,
-        W=W, O=O, lam=lam, lam_vec=lam_vec, integrator=sampler.integrator)
+    theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+    kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
+              max_leaps=sampler.max_leaps, interpret=interpret,
+              kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
+              integrator=sampler.integrator)
+    if mesh is not None and mesh.devices.size > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        assert n_chains % n_dev == 0, (
+            f"n_chains ({n_chains}) must divide the '{axis}' mesh axis "
+            f"({n_dev})")
+        block_l = _pick_block(n_chains // n_dev)
+        run_keys = jax.vmap(lambda i: jax.random.fold_in(k_samp, i))(
+            jnp.arange(n_dev))
+
+        def local_run(th0, keys):
+            return _chees_run(XT, Y2, th0, jnp.float32(eps),
+                              jnp.float32(T), keys[0],
+                              block_chains=block_l, **kw)
+
+        fn = shard_map(local_run, mesh=mesh,
+                       in_specs=(P(axis), P(axis)),
+                       out_specs=((P(axis), P(axis), P(axis)),
+                                  P(None, axis)),
+                       check_vma=False)
+        (thetaF, lpF, gF), infos2 = fn(theta0p, run_keys)
+    else:
+        (thetaF, lpF, gF), infos2 = _chees_run(
+            XT, Y2, theta0p, jnp.float32(eps), jnp.float32(T), k_samp,
+            block_chains=_pick_block(n_chains), **kw)
     infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, s, d,
                                      extra_keys=("alpha", "epsilon",
                                                  "nleaps"))

@@ -248,14 +248,8 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
         use_warm = False
         if not use_fused and not use_target and fused is not False:
             from ..ops.warmstart import warm_eligible
-            from ..samplers.chees import ChEESHMC as _ChEES
 
-            if (mesh is not None and mesh.devices.size > 1
-                    and isinstance(t.sampler, _ChEES)):
-                # ChEES warm pipeline is not mesh-wrapped yet; the generic
-                # engine shards + pools correctly, so prefer it on a mesh
-                pass
-            elif warm_eligible(t):
+            if warm_eligible(t):
                 if fused is True:
                     use_warm = True
                 elif (fused == "auto" and jax.default_backend() == "tpu"

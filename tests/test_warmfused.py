@@ -196,6 +196,18 @@ def test_warmfused_sharded_matches_unsharded_stats():
     # final states carry the frozen tuner on every shard
     assert np.all(np.asarray(states_m.tune.step_size) > 0)
 
+    # ChEES pipeline over the mesh: same shared Halton lengths per shard
+    from mcmc_jl_tpu.ops.warmstart import warmfused_chees_chains
+
+    s2 = mc.ChEESHMC(len0=0.5, max_leaps=32)
+    infos_c, _ = warmfused_chees_chains(m, s2, r, 16, jax.random.PRNGKey(1),
+                                        mesh=mesh)
+    nl = np.asarray(infos_c["nleaps"])[r.burnin:]
+    assert nl.shape == (450, 16)
+    # trajectory lengths are chain-SHARED (identical across all shards)
+    assert np.all(nl == nl[:, :1])
+    assert np.ptp(nl) > 0  # and step-jittered
+
 
 def test_freeze_pools_median():
     X, Y = _data()
