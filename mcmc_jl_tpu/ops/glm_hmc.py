@@ -312,7 +312,10 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
         n_pad = _round_up(N, TILE_N)
         return bign_kernel_supported(
             d_pad, n_pad, _pick_block(n_chains), kind=spec.kind,
-            use_w=True,  # tile padding always rides the weight vector
+            # pad_design_tiled synthesizes a weight vector only when tile
+            # padding exists or the model has weights — probe the exact
+            # specialization the run will compile
+            use_w=(N % TILE_N != 0) or spec.weights is not None,
             use_o=spec.offsets is not None,
             unit_prior=not vec_prior and float(spec.prior_prec) == 1.0,
             vec_prior=vec_prior)

@@ -103,7 +103,9 @@ def _freeze(sampler, states_w):
     if isinstance(sampler, HMC):
         if sampler.tuner is not None:
             eps = float(np.median(np.asarray(states_w.tune.step_size)))
-            nl = int(np.median(np.asarray(states_w.tune.n_leaps)))
+            # round, don't truncate: an even chain count gives half-integer
+            # medians and int() would bias the frozen trajectory length down
+            nl = int(round(np.median(np.asarray(states_w.tune.n_leaps))))
         else:
             eps, nl = sampler.leap_step, sampler.n_leaps
         return eps, max(int(nl), 1), _pool_mass(sampler._kind, states_w)
@@ -127,12 +129,14 @@ def _warmup(model, sampler, runner, n_chains, k_init, k_warm, mesh=None):
     return _scan_chains(model, sampler, ctx, states0, k_warm, runner.burnin)
 
 
-def _fold(spec, model_size, states_w, s, tiled=False):
+def _fold(spec, model_size, states_w, s, tiled=False, tile_n=None):
     """Phase 2 fold: reparameterize ``theta = S z`` so the z-space posterior
     is again a GLM the kernel runs at unit mass.  Returns the kernel-side
     quantities ``(XT, Y2, d_pad, theta0 (C, d) z-space, lam, lam_vec, W,
     O)``.  ``tiled=True`` builds the large-N layout (pad_design_tiled:
-    observation padding rides a zero-weight vector)."""
+    observation padding rides a zero-weight vector); ``tile_n`` must be the
+    SAME value the sampling-phase driver uses (the caller resolves
+    ``pallas_glm_bign.TILE_N`` once and threads it through both)."""
     from .pallas_glm import pad_design
 
     X = np.asarray(spec.X, np.float64)
@@ -145,10 +149,11 @@ def _fold(spec, model_size, states_w, s, tiled=False):
     else:
         Xs, theta0 = X, theta_w
     if tiled:
-        from .pallas_glm_bign import pad_design_tiled
+        from .pallas_glm_bign import TILE_N, pad_design_tiled
 
         XT, Y2, W, d_pad, N_real = pad_design_tiled(
-            Xs, spec.Y, weights=spec.weights)
+            Xs, spec.Y, weights=spec.weights,
+            tile_n=TILE_N if tile_n is None else tile_n)
         if spec.offsets is not None:
             O = np.zeros((1, XT.shape[1]), np.float32)
             O[0, :N_real] = np.asarray(spec.offsets).reshape(N_real)
@@ -242,29 +247,35 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
                                 k_init, k_warm, mesh=mesh)
     eps, nl, s = _freeze(sampler, states_w)
     d = model.size
-    from .pallas_glm_bign import BIGN_THRESHOLD
+    from . import pallas_glm_bign as bn
 
-    big_n = spec.X.shape[0] > BIGN_THRESHOLD
-    XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(spec, d, states_w, s,
-                                                      tiled=big_n)
+    big_n = spec.X.shape[0] > bn.BIGN_THRESHOLD
+    # resolve tile_n ONCE and thread it through fold AND driver: the two
+    # silently diverge if TILE_N is changed at runtime (test monkeypatch)
+    tile_n = bn.TILE_N if big_n else None
+    XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(
+        spec, d, states_w, s, tiled=big_n, tile_n=tile_n)
 
     # ---- phase 3: fused sampling -----------------------------------------
     steps2 = runner.len - runner.burnin
-    block = _pick_block(n_chains)
     theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
-    if big_n:
-        # large-N: the N-tiled gradient kernel (pallas_glm_bign) carries
-        # the frozen metric through the same lam_vec fold
-        from .pallas_glm_bign import TILE_N, _run_bign
+    common = dict(d=d, steps=steps2, n_leaps=nl, interpret=interpret,
+                  kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
+                  integrator=sampler.integrator, collect=True)
 
-        (thetaF, lpF, gF), infos2 = _run_bign(
-            XT, Y2, theta0p, jnp.float32(eps), k_samp, d=d, steps=steps2,
-            n_leaps=nl, tile_n=TILE_N, block_chains=block,
-            interpret=interpret, kind=spec.kind, W=W, O=O, lam=lam,
-            lam_vec=lam_vec, integrator=sampler.integrator, collect=True)
-    elif mesh is not None and mesh.devices.size > 1:
-        # mesh-sharded sampling phase: each device runs the fused kernel
-        # on its local chain shard (chains independent: no collectives)
+    def run_phase(th0, k, block):
+        if big_n:
+            # large-N: the N-tiled gradient kernel (pallas_glm_bign)
+            # carries the frozen metric through the same lam_vec fold
+            return bn._run_bign(XT, Y2, th0, jnp.float32(eps), k,
+                                tile_n=tile_n, block_chains=block, **common)
+        return _run(XT, Y2, th0, jnp.float32(eps), k, block_chains=block,
+                    fused_step=False, **common)
+
+    if mesh is not None and mesh.devices.size > 1:
+        # mesh-sharded sampling phase (small-N AND big-N drivers): each
+        # device runs the fused kernel on its local chain shard (chains
+        # independent: no collectives)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -277,28 +288,16 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
         run_keys = jax.vmap(lambda i: jax.random.fold_in(k_samp, i))(
             jnp.arange(n_dev))
 
-        def local_run(th0, keys):
-            return _run(
-                XT, Y2, th0, jnp.float32(eps), keys[0], d=d, steps=steps2,
-                n_leaps=nl, block_chains=block_l, interpret=interpret,
-                kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
-                collect=True, integrator=sampler.integrator,
-                fused_step=False)
-
-        fn = shard_map(local_run, mesh=mesh,
+        fn = shard_map(lambda th0, keys: run_phase(th0, keys[0], block_l),
+                       mesh=mesh,
                        in_specs=(P(axis), P(axis)),
                        out_specs=((P(axis), P(axis), P(axis)),
                                   P(None, axis)),
                        check_vma=False)
         (thetaF, lpF, gF), infos2 = fn(theta0p, run_keys)
     else:
-        (thetaF, lpF, gF), infos2 = _run(
-            XT, Y2, theta0p,
-            jnp.float32(eps), k_samp, d=d, steps=steps2, n_leaps=nl,
-            block_chains=block, interpret=interpret, kind=spec.kind,
-            W=W, O=O, lam=lam, lam_vec=lam_vec, collect=True,
-            integrator=sampler.integrator, fused_step=False,
-        )
+        (thetaF, lpF, gF), infos2 = run_phase(theta0p, k_samp,
+                                              _pick_block(n_chains))
     infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, s, d)
 
     # ---- final states: warmup pytrees + fused position, frozen tune ------
@@ -429,9 +428,12 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
     states_w, infos_w = _warmup(model, sampler, runner, n_chains,
                                 k_init, k_warm, mesh=mesh)
 
-    # freeze: the pooled scalars are identical across chains already
-    eps = float(np.asarray(states_w.dual_leap_step)[0])
-    T = float(np.exp(np.asarray(states_w.log_len)[0]))
+    # freeze via MEDIAN like the HMC freeze: under the sampler's pool hook
+    # the warmup hyper-state is identical across chains (median == shared
+    # value, bit-exactly), but a degenerate warmup (1 chain, or a future
+    # non-pooled path) must not silently freeze chain 0's values
+    eps = float(np.median(np.asarray(states_w.dual_leap_step)))
+    T = float(np.exp(np.median(np.asarray(states_w.log_len))))
     s = _pool_mass(sampler._kind, states_w)
     d = model.size
     XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(spec, d, states_w, s)

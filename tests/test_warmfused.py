@@ -168,6 +168,51 @@ def test_warmfused_bign_route(monkeypatch):
     assert np.all(np.isfinite(c1.samples.values))
 
 
+def test_warmfused_chees_single_chain():
+    """Degenerate warmup (1 chain): the freeze must pool robustly (median)
+    rather than silently reading chain 0 of a never-pooled state."""
+    from mcmc_jl_tpu.ops.warmstart import warmfused_chees_chains
+
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.ChEESHMC(len0=0.5, max_leaps=32)
+    r = mc.SerialMC(steps=500, burnin=200)
+    infos, states = warmfused_chees_chains(m, s, r, 1, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(infos["ppars"])))
+    eps_tail = np.asarray(infos["epsilon"])[r.burnin:, 0]
+    assert np.ptp(eps_tail) < 1e-12 and eps_tail[0] > 0
+    assert float(np.mean(np.asarray(infos["accept"])[r.burnin:])) > 0.4
+
+
+def test_warmfused_bign_sharded(monkeypatch):
+    """Big-N warm pipeline over a mesh: the N-tiled sampling phase must be
+    shard_map'd per device like the small-N branch (ADVICE r3), with the
+    runtime TILE_N threaded consistently through fold and driver."""
+    import mcmc_jl_tpu.ops.pallas_glm_bign as bn
+    from mcmc_jl_tpu.ops.warmstart import warmfused_hmc_chains
+    from mcmc_jl_tpu.parallel.pchains import default_mesh
+
+    monkeypatch.setattr(bn, "BIGN_THRESHOLD", 100)
+    monkeypatch.setattr(bn, "TILE_N", 64)
+    X, Y = _data(n=150)
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=50))
+    r = mc.SerialMC(steps=600, burnin=200)
+    mesh = default_mesh()
+
+    infos_m, states_m = warmfused_hmc_chains(m, s, r, 16,
+                                             jax.random.PRNGKey(0),
+                                             mesh=mesh)
+    infos_u, _ = warmfused_hmc_chains(m, s, r, 16, jax.random.PRNGKey(0))
+    a = np.asarray(infos_m["ppars"])[r.burnin:]
+    b = np.asarray(infos_u["ppars"])[r.burnin:]
+    assert a.shape == b.shape == (400, 16, 4)
+    se = b.reshape(-1, 4).std(0) / 15
+    assert np.all(np.abs(a.reshape(-1, 4).mean(0) - b.reshape(-1, 4).mean(0))
+                  < 6 * se + 0.05)
+    assert np.all(np.asarray(states_m.tune.step_size) > 0)
+
+
 def test_warmfused_sharded_matches_unsharded_stats():
     """Warm-start pipeline over an 8-device mesh: warmup scan partitioned
     by XLA, sampling phase shard_map'd per device — statistics match the
