@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pallas_glm import LANE, _round_up, _trajectory, pad_chains
 
@@ -62,9 +63,15 @@ def coordwise_logp(logpdf, d, d_pad=None, safe=0.5):
 
 def _kernel(eps_ref, theta_ref, m_ref, grad_ref,
             theta_out, m_out, grad_out, lp_out, *,
-            logp_block, n_leaps, integrator):
-    """One fused HMC trajectory for a block of chains on a custom target."""
-    eps = eps_ref[0, 0]
+            logp_block, n_leaps, integrator, vec_eps=False):
+    """One fused HMC trajectory for a block of chains on a custom target.
+
+    ``vec_eps=True`` reads a per-coordinate (1, d_pad) step-size row instead
+    of the SMEM scalar: kick and drift broadcast it column-wise, which IS
+    diagonal-mass HMC in theta-space (``eps_j = eps * s_j`` — the identical
+    fold the generic engine applies, samplers/hmc.py step) — the warm-start
+    pipeline's frozen metric for custom targets (ops/warmstart.py)."""
+    eps = eps_ref[:] if vec_eps else eps_ref[0, 0]
     grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
 
     def logp_grad(th):
@@ -96,7 +103,8 @@ def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
         module docstring for the padded-lane contract).  Pass a *stable*
         function object — it keys the compile cache.
       theta, m, grad: (C, d_pad) lane-padded chain state (padded cols zero).
-      eps: scalar step size.
+      eps: scalar step size, or a (d_pad,)/(1, d_pad) per-coordinate row
+        (the diagonal-mass fold — see ``_kernel``).
     Returns (theta, m, grad, logp) with logp shape (C,).
     """
     from jax.experimental import pallas as pl
@@ -107,21 +115,27 @@ def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
     blk = min(block_chains, C)
     assert C % blk == 0, \
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
-    eps2 = jnp.reshape(jnp.float32(eps), (1, 1))
+    vec_eps = getattr(eps, "ndim", 0) >= 1 and np.size(eps) > 1
+    if vec_eps:
+        eps2 = jnp.reshape(jnp.asarray(eps, jnp.float32), (1, d_pad))
+        eps_spec = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        eps2 = jnp.reshape(jnp.float32(eps), (1, 1))
+        eps_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
         functools.partial(_kernel, logp_block=logp_block, n_leaps=n_leaps,
-                          integrator=integrator),
+                          integrator=integrator, vec_eps=vec_eps),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
-        in_specs=[smem_spec, chain_spec, chain_spec, chain_spec],
+        in_specs=[eps_spec, chain_spec, chain_spec, chain_spec],
         out_specs=[chain_spec, chain_spec, chain_spec,
                    pl.BlockSpec((blk, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
@@ -294,26 +308,30 @@ _TARGET_PROBE_CACHE = {}
 
 
 def target_kernel_supported(logp_block, d_pad, blk=128,
-                            integrator="leapfrog"):
+                            integrator="leapfrog", vec_eps=False):
     """Compile-probe the fused custom-target kernel on the current backend.
 
     A user ``logp_block`` may contain ops Mosaic cannot lower; routing must
     degrade to the generic XLA path instead of hard-failing a production run
     (the round-1 GLM step-kernel lesson).  AOT ``lower().compile()`` on
     abstract avals, cached per (function, shape) signature.
+    ``vec_eps=True`` probes the per-coordinate step-size variant the
+    warm-start diagonal-mass fold uses (ops/warmstart.py).
     """
-    sig = (logp_block, d_pad, blk, integrator, jax.default_backend())
+    sig = (logp_block, d_pad, blk, integrator, vec_eps,
+           jax.default_backend())
     hit = _TARGET_PROBE_CACHE.get(sig)
     if hit is not None:
         return hit
     f32 = jax.ShapeDtypeStruct
     cd = f32((blk, d_pad), jnp.float32)
+    eps_aval = f32((1, d_pad), jnp.float32) if vec_eps else f32((), jnp.float32)
     try:
         jax.jit(
             lambda *a: fused_target_leapfrogs(
                 logp_block, *a, n_leaps=2, block_chains=blk,
                 integrator=integrator)
-        ).lower(cd, cd, cd, f32((), jnp.float32)).compile()
+        ).lower(cd, cd, cd, eps_aval).compile()
         ok = True
     except Exception as e:  # pragma: no cover - backend-specific
         import logging

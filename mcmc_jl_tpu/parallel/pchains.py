@@ -254,13 +254,30 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                     use_warm = True
                 elif (fused == "auto" and jax.default_backend() == "tpu"
                       and not jax.config.jax_enable_x64):
-                    from ..ops.glm_hmc import model_kernel_supported
-                    from ..samplers.chees import ChEESHMC
+                    if getattr(t.model, "glm_spec", None) is not None:
+                        from ..ops.glm_hmc import model_kernel_supported
+                        from ..samplers.chees import ChEESHMC
 
-                    vec = getattr(t.sampler, "_kind", None) is not None
-                    dyn = isinstance(t.sampler, ChEESHMC)
-                    use_warm = model_kernel_supported(
-                        t.model, t.sampler, n, vec_prior=vec, dyn_len=dyn)
+                        vec = getattr(t.sampler, "_kind", None) is not None
+                        dyn = isinstance(t.sampler, ChEESHMC)
+                        use_warm = model_kernel_supported(
+                            t.model, t.sampler, n, vec_prior=vec,
+                            dyn_len=dyn)
+                    else:
+                        # adaptive HMC/HMCDA on a data-free custom target:
+                        # the sampling phase runs the fused target kernel
+                        # (vec_eps = the frozen diag-metric fold) —
+                        # probe-guarded like every fused route
+                        from ..ops.glm_hmc import _pick_block
+                        from ..ops.pallas_glm import LANE, _round_up
+                        from ..ops.pallas_target import (
+                            model_block_fn, target_kernel_supported)
+
+                        vec = getattr(t.sampler, "_kind", None) is not None
+                        use_warm = target_kernel_supported(
+                            model_block_fn(t.model),
+                            _round_up(t.model.size, LANE), _pick_block(n),
+                            integrator=t.sampler.integrator, vec_eps=vec)
         if (use_fused or use_target or use_warm) and fused == "auto":
             import logging
 
@@ -269,7 +286,9 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                 "%s kernel (f32); pass fused=False for the generic engine",
                 n, "adaptive " if use_warm else "plain-",
                 "GLM" if use_fused else
-                ("warm-start GLM" if use_warm else "custom-target"),
+                (("warm-start GLM" if t.model.glm_spec is not None
+                  else "warm-start custom-target") if use_warm
+                 else "custom-target"),
             )
         if use_warm:
             from ..ops.warmstart import warmfused_chains

@@ -77,6 +77,10 @@ assert trajectory_kernel_supported(LANE, 1000, 256, unit_prior=False,
                                    vec_prior=True, dyn_len=True), \
     "vec+dyn traj kernel"
 
+# round-4: per-coordinate step-size row (custom-target diag-mass fold)
+assert target_kernel_supported(blockfn, LANE, 128, vec_eps=True), \
+    "vec-eps custom-target kernel failed Mosaic"
+
 # multi-transition custom-target kernel (in-kernel hardware PRNG)
 from mcmc_jl_tpu.ops.pallas_target import _multistep_inner
 jax.jit(lambda th, seeds, eps: _multistep_inner(
