@@ -52,9 +52,16 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
     the kernel (ops/warmstart.py).
     """
     C, d_pad = theta0.shape
-    from .pallas_glm import link_terms
+    from .pallas_glm import is_mat_prior, link_terms
     ll_fn, resid_fn = link_terms(kind)
     prior = lam if lam_vec is None else lam_vec
+    mat = lam_vec is not None and is_mat_prior(lam_vec)
+
+    def prior_term(theta):
+        # scalar/vector prior: elementwise; dense-mass fold: theta @ A
+        if mat:
+            return jnp.dot(theta, prior, preferred_element_type=jnp.float32)
+        return prior * theta
 
     def refresh(k):
         # momenta live only on the d real columns (padded theta stays exactly
@@ -73,10 +80,9 @@ def _run(XT, Y, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         ll = ll_fn(logits, Y)
         if W is not None:
             r, ll = W * r, W * ll
-        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) \
-            - prior * theta
-        lp = jnp.sum(ll, axis=1) \
-            - 0.5 * jnp.sum((prior * theta) * theta, axis=1)
+        pt = prior_term(theta)
+        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - pt
+        lp = jnp.sum(ll, axis=1) - 0.5 * jnp.sum(pt * theta, axis=1)
         return lp, g
 
     lp0, g0 = logp_grad(theta0)
@@ -158,15 +164,20 @@ def _run_multistep(XT, Y, theta0, eps, key, *, d, n_launches, k_trans,
     n_blocks = C // min(block_chains, C)
 
     def launch(theta, k):
+        from .pallas_glm import is_mat_prior
+
         seeds = jax.random.randint(k, (n_blocks,), 0, np.int32(2**31 - 1),
                                    dtype=jnp.int32)
-        vec = lam_vec is not None
+        mat = lam_vec is not None and is_mat_prior(lam_vec)
+        vec = lam_vec is not None and not mat
         theta, g, lp, acc = _multistep_inner(
             XT, Y, theta, seeds, eps, d=d, n_leaps=n_leaps, k_trans=k_trans,
             block_chains=block_chains, mxu_dtype=mxu_dtype, kind=kind,
-            weights=W, offsets=O, prior_prec=lam_vec if vec else lam,
+            weights=W, offsets=O,
+            prior_prec=lam_vec if lam_vec is not None else lam,
             _use_w=W is not None, _use_o=O is not None,
-            _unit_prior=not vec and float(lam) == 1.0, _vec_prior=vec,
+            _unit_prior=lam_vec is None and float(lam) == 1.0,
+            _vec_prior=vec, _mat_prior=mat,
             integrator=integrator)
         info = {"plogtarget": lp, "accept_rate": acc}
         if collect:
@@ -226,8 +237,8 @@ _TRAJ_PROBE_CACHE = {}
 
 def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
                                 use_o=False, unit_prior=True,
-                                vec_prior=False, dyn_len=False,
-                                integrator="leapfrog"):
+                                vec_prior=False, mat_prior=False,
+                                dyn_len=False, integrator="leapfrog"):
     """Compile-probe the fused trajectory kernel on the current backend.
 
     The built-in links are TPU-validated, but a custom ``(ll, resid)`` pair
@@ -238,8 +249,8 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
     import jax
 
     sig = (d_pad, N, blk, kind if isinstance(kind, str) else id(kind),
-           use_w, use_o, unit_prior, vec_prior, dyn_len, integrator,
-           jax.default_backend())
+           use_w, use_o, unit_prior, vec_prior, mat_prior, dyn_len,
+           integrator, jax.default_backend())
     hit = _TRAJ_PROBE_CACHE.get(sig)
     if hit is not None:
         return hit
@@ -252,6 +263,8 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
         extra.append(f32((1, N), jnp.float32))
     if vec_prior:
         extra.append(f32((1, d_pad), jnp.float32))
+    if mat_prior:
+        extra.append(f32((d_pad, d_pad), jnp.float32))
     if dyn_len:
         extra.append(jax.ShapeDtypeStruct((), jnp.int32))
 
@@ -264,7 +277,7 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
             kw["weights"] = next(it)
         if use_o:
             kw["offsets"] = next(it)
-        if vec_prior:
+        if vec_prior or mat_prior:
             kw["prior_prec"] = next(it)
         if dyn_len:
             kw["n_leaps"] = next(it)
@@ -289,11 +302,12 @@ def trajectory_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,
 
 
 def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
-                           dyn_len=False):
+                           mat_prior=False, dyn_len=False):
     """True if ``model``'s GLM spec lowers through the fused trajectory
     kernel on the current backend (used by the prun auto-routing).
     ``vec_prior=True`` probes the per-coordinate-precision variant the
-    warm-start mass fold uses; ``dyn_len=True`` the runtime-trip-count
+    warm-start diag-mass fold uses; ``mat_prior=True`` the full-matrix
+    variant of the dense-mass fold; ``dyn_len=True`` the runtime-trip-count
     variant ChEES needs (ops/warmstart.py).  Datasets beyond the
     whole-trajectory kernel's VMEM budget probe the N-tiled gradient
     kernel instead (ops/pallas_glm_bign.py)."""
@@ -306,9 +320,13 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
     d_pad = _round_up(spec.X.shape[1], LANE)
     from .pallas_glm_bign import BIGN_THRESHOLD, TILE_N, bign_kernel_supported
 
+    folded = vec_prior or mat_prior
     if N > BIGN_THRESHOLD:
-        if dyn_len:
-            return False  # ChEES big-N: not yet tiled (generic engine)
+        if mat_prior:
+            return False  # dense fold not wired into the tiled driver
+        # dyn_len needs no kernel variant here: the tiled driver's leapfrog
+        # loop lives in XLA, where a traced trip count is a while_loop
+        # (ops/warmstart.py ChEES big-N path)
         n_pad = _round_up(N, TILE_N)
         return bign_kernel_supported(
             d_pad, n_pad, _pick_block(n_chains), kind=spec.kind,
@@ -317,13 +335,14 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
             # specialization the run will compile
             use_w=(N % TILE_N != 0) or spec.weights is not None,
             use_o=spec.offsets is not None,
-            unit_prior=not vec_prior and float(spec.prior_prec) == 1.0,
+            unit_prior=not folded and float(spec.prior_prec) == 1.0,
             vec_prior=vec_prior)
     return trajectory_kernel_supported(
         d_pad, N, _pick_block(n_chains), kind=spec.kind,
         use_w=spec.weights is not None, use_o=spec.offsets is not None,
-        unit_prior=not vec_prior and float(spec.prior_prec) == 1.0,
-        vec_prior=vec_prior, dyn_len=dyn_len, integrator=sampler.integrator)
+        unit_prior=not folded and float(spec.prior_prec) == 1.0,
+        vec_prior=vec_prior, mat_prior=mat_prior, dyn_len=dyn_len,
+        integrator=sampler.integrator)
 
 
 def step_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,

@@ -37,13 +37,26 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _lam_input(prior_prec, vec_prior, d_pad):
-    """Kernel input + BlockSpec for the prior precision: an SMEM scalar, or
-    (vector-prior path) a (1, d_pad) VMEM row padded with ones so padded
-    lanes stay inert (their theta is exactly zero anyway)."""
+def _lam_input(prior_prec, vec_prior, d_pad, mat_prior=False):
+    """Kernel input + BlockSpec for the prior precision: an SMEM scalar, a
+    (vector-prior path) (1, d_pad) VMEM row padded with ones, or a
+    (matrix-prior path) (d_pad, d_pad) VMEM block padded with an identity
+    corner — padded lanes stay inert either way (their theta is exactly
+    zero).  The matrix path carries the dense-mass fold ``lam L^T L`` of
+    the warm-start pipeline (ops/warmstart.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if mat_prior:
+        A = jnp.asarray(prior_prec, jnp.float32)
+        k = A.shape[0]
+        if k < d_pad:
+            A = jnp.block(
+                [[A, jnp.zeros((k, d_pad - k), jnp.float32)],
+                 [jnp.zeros((d_pad - k, k), jnp.float32),
+                  jnp.eye(d_pad - k, dtype=jnp.float32)]])
+        return (A, pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM))
     if vec_prior:
         lam = jnp.ravel(jnp.asarray(prior_prec, jnp.float32))
         lam = jnp.concatenate(
@@ -56,9 +69,16 @@ def _lam_input(prior_prec, vec_prior, d_pad):
                          memory_space=pltpu.SMEM))
 
 
+def is_mat_prior(prior_prec):
+    """True when ``prior_prec`` is a full (d, d) precision matrix."""
+    return (getattr(prior_prec, "ndim", 0) == 2
+            and prior_prec.shape[0] > 1 and prior_prec.shape[1] > 1)
+
+
 def is_vec_prior(prior_prec):
     """True when ``prior_prec`` is a per-coordinate precision vector."""
-    return getattr(prior_prec, "ndim", 0) >= 1 and np.size(prior_prec) > 1
+    return (getattr(prior_prec, "ndim", 0) >= 1 and np.size(prior_prec) > 1
+            and not is_mat_prior(prior_prec))
 
 
 def link_terms(kind, kernel=False):
@@ -124,16 +144,17 @@ def jsp_log_ndtr(z):
 
 
 def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
-               use_w, use_o, unit_prior):
+               use_w, use_o, unit_prior, mat_prior=False):
     """Build (grad_only, logp_grad) closures over VMEM-resident GLM data.
 
     Shared by the trajectory kernel and the full-transition kernel.
     ``use_w``/``use_o``/``unit_prior`` are trace-time flags: the default
     unweighted / no-offset / unit-prior path compiles with zero extra ops
-    (and zero extra VMEM inputs) in the hot loop.  ``lam`` is either a
-    scalar or a (1, d_pad) per-coordinate precision row (the vector-prior
-    path that folds a diagonal mass metric into the kernel — see
-    ops/warmstart.py); both share the same elementwise prior math."""
+    (and zero extra VMEM inputs) in the hot loop.  ``lam`` is a scalar, a
+    (1, d_pad) per-coordinate precision row (diag-mass fold), or —
+    ``mat_prior=True`` — a (d_pad, d_pad) precision matrix (dense-mass
+    fold ``lam L^T L``, one extra MXU matmul per gradient); see
+    ops/warmstart.py."""
     xt = xt_ref[:].astype(mxu_dtype)   # (d_pad, N)
     y = y_ref[:]              # (1, N)
     w = w_ref[:] if use_w else None   # (1, N) per-observation weights
@@ -146,6 +167,8 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
         return z + o if use_o else z
 
     def prior_grad(theta):
+        if mat_prior:  # symmetric A: grad of theta^T A theta / 2 = theta A
+            return jnp.dot(theta, lam, preferred_element_type=jnp.float32)
         return lam * theta if not unit_prior else theta
 
     def rxt(r):
@@ -175,11 +198,8 @@ def _glm_funcs(xt_ref, y_ref, w_ref, o_ref, lam, *, mxu_dtype, kind,
             r = w * r
             ll = w * ll
         g = rxt(r) - prior_grad(theta)
-        # sum((lam*theta)*theta) covers scalar AND (1, d_pad) vector lam
-        quad = jnp.sum(
-            (theta if unit_prior else lam * theta) * theta,
-            axis=1, keepdims=True,
-        )
+        # sum(prior_grad(theta)*theta) covers scalar, vector AND matrix lam
+        quad = jnp.sum(prior_grad(theta) * theta, axis=1, keepdims=True)
         lp = jnp.sum(ll, axis=1, keepdims=True) - 0.5 * quad
         return lp, g
 
@@ -222,7 +242,8 @@ def _trajectory(theta, m, g, eps, grad_only, logp_grad, *, n_leaps,
 
 
 def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
-            vec_prior=False, dyn_len=False, integrator="leapfrog"):
+            vec_prior=False, mat_prior=False, dyn_len=False,
+            integrator="leapfrog"):
     """One HMC trajectory (n_leaps leapfrogs) for a block of chains.
 
     ``dyn_len=True`` reads the leap count from an SMEM scalar instead of the
@@ -239,11 +260,13 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     theta_out, m_out, grad_out, lp_out = list(it)
 
     eps = eps_ref[0, 0]
-    # N(0, 1/lam) prior precision: scalar, or a (1, d_pad) coordinate row
-    lam = lam_ref[:] if vec_prior else lam_ref[0, 0]
+    # N(0, 1/lam) prior precision: scalar, (1, d_pad) row, or (d_pad,
+    # d_pad) matrix (dense-mass fold)
+    lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
-        use_w=use_w, use_o=use_o, unit_prior=unit_prior)
+        use_w=use_w, use_o=use_o, unit_prior=unit_prior,
+        mat_prior=mat_prior)
 
     nl = nl_ref[0, 0] if dyn_len else n_leaps
     theta, m, g, lp = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
@@ -257,7 +280,7 @@ def _kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
 
 
 def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
-                 vec_prior=False, integrator="leapfrog"):
+                 vec_prior=False, mat_prior=False, integrator="leapfrog"):
     """One FULL HMC transition for a block of chains: momentum refresh
     (pre-drawn noise in), whole trajectory, Metropolis accept — nothing but
     the noise generation stays outside the kernel.  Compared to launching
@@ -273,10 +296,11 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     theta_out, grad_out, lp_out, acc_out = list(it)
 
     eps = eps_ref[0, 0]
-    lam = lam_ref[:] if vec_prior else lam_ref[0, 0]
+    lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
-        use_w=use_w, use_o=use_o, unit_prior=unit_prior)
+        use_w=use_w, use_o=use_o, unit_prior=unit_prior,
+        mat_prior=mat_prior)
 
     # per-chain scalars arrive lane-broadcast as (blk, LANE) blocks — Mosaic
     # cannot tile a (blk, 1) VMEM block (the round-1 lowering failure); only
@@ -307,7 +331,7 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
 
 
 def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
-                      use_o, unit_prior, vec_prior=False,
+                      use_o, unit_prior, vec_prior=False, mat_prior=False,
                       integrator="leapfrog"):
     """``k_trans`` FULL HMC transitions for a block of chains in ONE kernel
     launch: momentum refresh (Box-Muller on the hardware PRNG) + whole
@@ -330,10 +354,11 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
 
     pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
     eps = eps_ref[0, 0]
-    lam = lam_ref[:] if vec_prior else lam_ref[0, 0]
+    lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
-        use_w=use_w, use_o=use_o, unit_prior=unit_prior)
+        use_w=use_w, use_o=use_o, unit_prior=unit_prior,
+        mat_prior=mat_prior)
 
     theta0 = theta_ref[:]
     blk, d_pad = theta0.shape
@@ -371,13 +396,13 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
     jax.jit,
     static_argnames=("d", "n_leaps", "k_trans", "block_chains", "mxu_dtype",
                      "kind", "_use_w", "_use_o", "_unit_prior", "_vec_prior",
-                     "integrator"),
+                     "_mat_prior", "integrator"),
 )
 def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
                      block_chains=256, mxu_dtype=jnp.float32,
                      kind="logistic", weights=None, offsets=None,
                      prior_prec=1.0, _use_w=False, _use_o=False,
-                     _unit_prior=True, _vec_prior=False,
+                     _unit_prior=True, _vec_prior=False, _mat_prior=False,
                      integrator="leapfrog"):
     """Launch the multi-transition kernel once (see ``_multistep_kernel``).
 
@@ -394,7 +419,8 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
     n_blocks = C // blk
     eps = jnp.float32(eps)
-    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad)
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad,
+                                  mat_prior=_mat_prior)
 
     grid = (n_blocks,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
@@ -427,7 +453,7 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
                           k_trans=k_trans, mxu_dtype=mxu_dtype, kind=kind,
                           use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior, vec_prior=_vec_prior,
-                          integrator=integrator),
+                          mat_prior=_mat_prior, integrator=integrator),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
@@ -447,14 +473,14 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
                      "kind", "_use_w", "_use_o", "_unit_prior", "_vec_prior",
-                     "_dyn_len", "integrator"),
+                     "_mat_prior", "_dyn_len", "integrator"),
 )
 def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10, nl=None,
                      block_chains=256, interpret=False,
                      mxu_dtype=jnp.float32, kind="logistic",
                      weights=None, offsets=None, prior_prec=1.0,
                      _use_w=False, _use_o=False, _unit_prior=True,
-                     _vec_prior=False, _dyn_len=False,
+                     _vec_prior=False, _mat_prior=False, _dyn_len=False,
                      integrator="leapfrog"):
     """Run ``n_leaps`` fused leapfrogs for all chains.
 
@@ -479,7 +505,8 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10, nl=None,
     assert C % blk == 0, \
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
     eps = jnp.float32(eps)
-    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad)
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad,
+                                  mat_prior=_mat_prior)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
@@ -515,7 +542,8 @@ def _leapfrogs_inner(XT, Y, theta, m, grad, eps, *, n_leaps=10, nl=None,
         functools.partial(_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior, vec_prior=_vec_prior,
-                          dyn_len=_dyn_len, integrator=integrator),
+                          mat_prior=_mat_prior, dyn_len=_dyn_len,
+                          integrator=integrator),
         compiler_params=params,
         grid=grid,
         in_specs=in_specs,
@@ -552,6 +580,7 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
         kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
         _use_w=weights is not None, _use_o=offsets is not None,
         _unit_prior=unit, _vec_prior=is_vec_prior(prior_prec),
+        _mat_prior=is_mat_prior(prior_prec),
         _dyn_len=dyn, integrator=integrator,
     )
 
@@ -560,13 +589,13 @@ def glm_hmc_leapfrogs(XT, Y, theta, m, grad, eps, *, n_leaps=10,
     jax.jit,
     static_argnames=("n_leaps", "block_chains", "interpret", "mxu_dtype",
                      "kind", "_use_w", "_use_o", "_unit_prior", "_vec_prior",
-                     "integrator"),
+                     "_mat_prior", "integrator"),
 )
 def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
                 block_chains=256, interpret=False, mxu_dtype=jnp.float32,
                 kind="logistic", weights=None, offsets=None, prior_prec=1.0,
                 _use_w=False, _use_o=False, _unit_prior=True,
-                _vec_prior=False, integrator="leapfrog"):
+                _vec_prior=False, _mat_prior=False, integrator="leapfrog"):
     """Run one fused HMC transition (refresh + trajectory + accept).
 
     Args beyond :func:`_leapfrogs_inner`:
@@ -584,7 +613,8 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
     assert C % blk == 0, \
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
     eps = jnp.float32(eps)
-    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad)
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad,
+                                  mat_prior=_mat_prior)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
@@ -617,7 +647,7 @@ def _step_inner(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
         functools.partial(_step_kernel, n_leaps=n_leaps, mxu_dtype=mxu_dtype,
                           kind=kind, use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior, vec_prior=_vec_prior,
-                          integrator=integrator),
+                          mat_prior=_mat_prior, integrator=integrator),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
@@ -646,6 +676,7 @@ def glm_hmc_step(XT, Y, theta, grad, lp, m0, logu, eps, *, n_leaps=10,
         kind=kind, weights=weights, offsets=offsets, prior_prec=prior_prec,
         _use_w=weights is not None, _use_o=offsets is not None,
         _unit_prior=unit, _vec_prior=is_vec_prior(prior_prec),
+        _mat_prior=is_mat_prior(prior_prec),
         integrator=integrator,
     )
 

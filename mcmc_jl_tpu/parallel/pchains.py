@@ -258,11 +258,13 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                         from ..ops.glm_hmc import model_kernel_supported
                         from ..samplers.chees import ChEESHMC
 
-                        vec = getattr(t.sampler, "_kind", None) is not None
+                        kindm = getattr(t.sampler, "_kind", None)
+                        mat = kindm == "dense"
                         dyn = isinstance(t.sampler, ChEESHMC)
                         use_warm = model_kernel_supported(
-                            t.model, t.sampler, n, vec_prior=vec,
-                            dyn_len=dyn)
+                            t.model, t.sampler, n,
+                            vec_prior=kindm is not None and not mat,
+                            mat_prior=mat, dyn_len=dyn)
                     else:
                         # adaptive HMC/HMCDA on a data-free custom target:
                         # the sampling phase runs the fused target kernel

