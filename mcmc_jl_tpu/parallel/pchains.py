@@ -318,40 +318,132 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                 t.model, t.sampler, t.runner, n,
                 key=jax.random.fold_in(key, gi), mesh=mesh,
             )
-        # slice to kept rows and drop pre-step duplicates ON DEVICE before
-        # materializing — the host (or tunnel) transfer is the prun
-        # bottleneck, not the sampling itself
-        keep_idx = jnp.asarray(np.asarray(list(t.runner.r)) - 1)
-        drop = {"pars", "grads", "logtarget"}
-        infos = jax.device_get(
-            {k: v[keep_idx] for k, v in infos.items() if k not in drop}
+        _package_group(t, t.runner, idxs, infos, final_states, key,
+                       results, t0)
+    return results
+
+
+def _package_group(t, runner, idxs, infos, final_states, key, results, t0):
+    """Slice kept rows on device, transfer once, build one MCMCChain per
+    task index (shared by :func:`prun_serialmc` and
+    :func:`presume_serialmc`)."""
+    # slice to kept rows and drop pre-step duplicates ON DEVICE before
+    # materializing — the host (or tunnel) transfer is the prun
+    # bottleneck, not the sampling itself
+    keep_idx = jnp.asarray(np.asarray(list(runner.r)) - 1)
+    drop = {"pars", "grads", "logtarget"}
+    infos = jax.device_get(
+        {k: v[keep_idx] for k, v in infos.items() if k not in drop}
+    )
+    # one bulk transfer of final states; per-chain slicing stays in numpy
+    # (per-chain device indexing would cost one tunnel RTT per leaf)
+    final_states = jax.device_get(final_states)
+    cn = t.model.column_names()
+    for ci, idx in enumerate(idxs):
+        samples = Table(np.asarray(infos["ppars"])[:, ci], cn)
+        if "pgrads" in infos:
+            gradients = Table(np.asarray(infos["pgrads"])[:, ci], cn)
+        else:
+            gradients = Table(np.zeros((0, t.model.size)), cn)
+        skip = {"ppars", "pgrads", "plogtarget"}
+        diags = {"step": np.asarray(list(runner.r))}
+        for k, v in infos.items():
+            if k not in skip:
+                diags[k] = np.asarray(v)[:, ci]
+        diags["logtarget"] = np.asarray(infos["plogtarget"])[:, ci]
+        state_i = jax.tree_util.tree_map(lambda a: a[ci], final_states)
+        new_task = MCMCTask(t.model, t.sampler, runner, state=state_i,
+                            key=jax.random.fold_in(key, 1000 + idx),
+                            pos=t.pos + runner.len)
+        results[idx] = MCMCChain(
+            range=runner.r,
+            samples=samples,
+            gradients=gradients,
+            diagnostics=diags,
+            task=new_task,
+            run_time=time.time() - t0,
         )
-        # one bulk transfer of final states; per-chain slicing stays in numpy
-        # (per-chain device indexing would cost one tunnel RTT per leaf)
-        final_states = jax.device_get(final_states)
-        cn = t.model.column_names()
-        for ci, idx in enumerate(idxs):
-            samples = Table(np.asarray(infos["ppars"])[:, ci], cn)
-            if "pgrads" in infos:
-                gradients = Table(np.asarray(infos["pgrads"])[:, ci], cn)
-            else:
-                gradients = Table(np.zeros((0, t.model.size)), cn)
-            skip = {"ppars", "pgrads", "plogtarget"}
-            diags = {"step": np.asarray(list(t.runner.r))}
-            for k, v in infos.items():
-                if k not in skip:
-                    diags[k] = np.asarray(v)[:, ci]
-            diags["logtarget"] = np.asarray(infos["plogtarget"])[:, ci]
-            state_i = jax.tree_util.tree_map(lambda a: a[ci], final_states)
-            new_task = MCMCTask(t.model, t.sampler, t.runner, state=state_i,
-                                key=jax.random.fold_in(key, 1000 + idx),
-                                pos=t.runner.len)
-            results[idx] = MCMCChain(
-                range=t.runner.r,
-                samples=samples,
-                gradients=gradients,
-                diagnostics=diags,
-                task=new_task,
-                run_time=time.time() - t0,
-            )
+
+
+def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
+                     fused="auto"):
+    """Batched resume of a list of SerialMC chains: the reference's
+    long-continuation workflow (runners.jl:48-68) at prun scale.
+
+    Identical-structure chains re-batch into one vmapped launch; frozen
+    HMC-family states (continuation runners have burnin=0, so adaptation
+    never fires again) route to the fused kernels via
+    :func:`mcmc_jl_tpu.ops.warmstart.fused_continue_chains` — a resumed
+    adapted run continues at fused speed instead of dropping to the
+    generic engine.  ``fused`` semantics match :func:`prun_serialmc`."""
+    from ..runners.serialmc import SerialMC
+
+    from ..runners.serialmc import resume_serialmc
+
+    t0 = time.time()
+    tasks = [c.task if isinstance(c, MCMCChain) else c for c in chains]
+    groups = {}
+    for idx, t in enumerate(tasks):
+        sig = (t.model.eval, t.model.evalallg, t.sampler,
+               type(t.runner), t.runner.thinning)
+        groups.setdefault(sig, []).append(idx)
+
+    results = [None] * len(chains)
+    key = jax.random.PRNGKey(seed)
+    for gi, (sig, idxs) in enumerate(groups.items()):
+        t = tasks[idxs[0]]
+        n = len(idxs)
+        if any(tasks[i].state is None for i in idxs):
+            # never-run tasks carry no state to batch: plain per-task resume
+            for i in idxs:
+                results[i] = resume_serialmc(tasks[i], steps=steps)
+            continue
+        new_runner = SerialMC(steps=steps, thinning=t.runner.thinning)
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[tasks[i].state for i in idxs])
+        k_run = jax.random.fold_in(key, gi)
+
+        use_cont = False
+        if fused is not False:
+            from ..ops.warmstart import continue_eligible
+
+            if continue_eligible(t):
+                if fused is True:
+                    use_cont = True
+                elif (fused == "auto" and jax.default_backend() == "tpu"
+                      and not jax.config.jax_enable_x64):
+                    kindm = getattr(t.sampler, "_kind", None)
+                    mat = kindm == "dense"
+                    if t.model.glm_spec is not None:
+                        from ..ops.glm_hmc import model_kernel_supported
+                        from ..samplers.chees import ChEESHMC
+
+                        use_cont = model_kernel_supported(
+                            t.model, t.sampler, n,
+                            vec_prior=kindm is not None and not mat,
+                            mat_prior=mat,
+                            dyn_len=isinstance(t.sampler, ChEESHMC))
+                    else:
+                        from ..ops.glm_hmc import _pick_block
+                        from ..ops.pallas_glm import LANE, _round_up
+                        from ..ops.pallas_target import (
+                            model_block_fn, target_kernel_supported)
+
+                        use_cont = target_kernel_supported(
+                            model_block_fn(t.model),
+                            _round_up(t.model.size, LANE), _pick_block(n),
+                            integrator=t.sampler.integrator,
+                            vec_eps=kindm is not None)
+        if use_cont:
+            from ..ops.warmstart import fused_continue_chains
+
+            infos, final_states = fused_continue_chains(
+                t.model, t.sampler, states, steps, k_run, mesh=mesh)
+        else:
+            infos, final_states, _ = run_chains(
+                t.model, t.sampler, new_runner, n, key=k_run,
+                states=states, mesh=mesh)
+        _package_group(t, new_runner, idxs, infos, final_states, key,
+                       results, t0)
     return results

@@ -88,7 +88,14 @@ def resume(x, *, steps: int = 100, **kwargs):
         last = x[-1]
         first = last.task.runner if isinstance(last, MCMCChain) else last.runner
         if isinstance(first, SerialMC):
-            return [resume(t, steps=steps, **kwargs) for t in x]
+            # batched continuation: identical-structure chains re-batch into
+            # one vmapped launch, and frozen-adaptive/plain HMC-family
+            # states continue through the fused kernels (parallel/pchains
+            # presume_serialmc) — resume at fused speed, not one generic
+            # scan per chain
+            from ..parallel.pchains import presume_serialmc
+
+            return presume_serialmc(list(x), steps=steps, **kwargs)
         from .serialtempmc import SerialTempMC, resume_serialtempmc
         from .seqmc import SeqMC, resume_seqmc
 
