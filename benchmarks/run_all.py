@@ -5,6 +5,7 @@ Runs every unit in ``benchunits/`` and appends one row per metric to
 the same log-accumulation scheme as the reference (run_all.jl:17-38).
 
 Usage: python benchmarks/run_all.py [--platform cpu|default]
+                                    [--only name1,name2]
 """
 import csv
 import datetime
@@ -59,7 +60,12 @@ def main():
         "device": str(jax.devices()[0]),
         "ncores": os.cpu_count(),
     }
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     for unit in sorted((HERE / "benchunits").glob("*.py")):
+        if only is not None and unit.stem not in only:
+            continue
         spec = importlib.util.spec_from_file_location(unit.stem, unit)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
