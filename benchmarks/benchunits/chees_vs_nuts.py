@@ -53,6 +53,7 @@ def run():
     runner = mc.SerialMC(steps=steps, burnin=burnin)
     out = []
 
+    essps = {}
     for name, sampler, grad_key in (
         ("NUTS(md=6)", mc.NUTS(maxdoublings=6), "ndoublings"),
         ("ChEES", mc.ChEESHMC(len0=0.2), "nleaps"),
@@ -71,6 +72,7 @@ def run():
         else:
             grads = float(np.sum(np.asarray(infos[grad_key])))
         ess = _min_ess_pooled(x)
+        essps[name] = ess / dt
         out += [
             (f"logistic 10x1000 {name}: transitions/s",
              n_chains * steps / dt, "steps/s"),
@@ -79,4 +81,42 @@ def run():
             (f"logistic 10x1000 {name}: min-coord ESS per 1k gradients",
              1000.0 * ess / grads, "ESS/kgrad"),
         ]
+
+    # --- round-4: opt-in NUTS warm handoff vs staying-NUTS ---------------
+    # same posterior as a model(glm=...) so the handoff's fused sampling
+    # phase (frozen DA eps + empirical trajectory lengths through the
+    # dynamic-length kernel) is reachable; warmup INCLUDED in the timing.
+    import jax.numpy as jnp
+
+    from mcmc_jl_tpu.ops.warmstart import warmfused_nuts_chains
+
+    rng = np.random.default_rng(1)
+    Xh = np.column_stack([np.ones(1000), rng.standard_normal((1000, 9))])
+    beta0 = rng.standard_normal(10)
+    Yh = (rng.random(1000) < 1.0 / (1.0 + np.exp(-Xh @ beta0))).astype(float)
+    mg = mc.model(glm=("logistic", Xh, Yh))
+    s_h = mc.NUTS(maxdoublings=6, warm_handoff=True)
+    interp = jax.default_backend() != "tpu"
+
+    def go(seed):
+        infos, _ = warmfused_nuts_chains(mg, s_h, runner, n_chains,
+                                         key=jax.random.PRNGKey(seed),
+                                         interpret=interp)
+        float(jnp.mean(infos["plogtarget"][-1]))  # stop-clock fetch
+        return infos
+
+    go(0)  # compile + warm
+    t0 = time.perf_counter()
+    infos = go(1)
+    dt = time.perf_counter() - t0
+    x = np.asarray(jax.device_get(infos["ppars"]))[burnin:]
+    ess = _min_ess_pooled(x)
+    out += [
+        ("logistic 10x1000 NUTS warm-handoff: transitions/s",
+         n_chains * steps / dt, "steps/s"),
+        ("logistic 10x1000 NUTS warm-handoff: pooled min-coord ESS/s",
+         ess / dt, "ESS/s"),
+        ("logistic 10x1000 NUTS warm-handoff vs staying-NUTS (ESS/s ratio)",
+         (ess / dt) / max(essps["NUTS(md=6)"], 1e-12), "x"),
+    ]
     return out

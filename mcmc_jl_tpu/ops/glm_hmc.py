@@ -342,7 +342,9 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
         use_w=spec.weights is not None, use_o=spec.offsets is not None,
         unit_prior=not folded and float(spec.prior_prec) == 1.0,
         vec_prior=vec_prior, mat_prior=mat_prior, dyn_len=dyn_len,
-        integrator=sampler.integrator)
+        # NUTS (warm handoff) has no integrator field: its fused phase
+        # always integrates with leapfrog
+        integrator=getattr(sampler, "integrator", "leapfrog"))
 
 
 def step_kernel_supported(d_pad, N, blk, kind="logistic", use_w=False,

@@ -87,6 +87,14 @@ def _warm_ok(model, sampler, runner):
         return (glm and getattr(s, "_kind", None) in (None, "diag",
                                                       "diag-win")
                 and s.integrator in ("leapfrog", "2stage", "3stage"))
+    from ..samplers.nuts import NUTS
+
+    if type(s) is NUTS:
+        # OPT-IN warm handoff: frozen DA eps + the warmup's empirical
+        # trajectory-length distribution through the ChEES-style
+        # dynamic-length kernel (see warmfused_nuts_chains)
+        return (s.warm_handoff and glm
+                and s._kind in (None, "diag", "diag-win"))
     return False
 
 
@@ -288,9 +296,14 @@ def warmfused_chains(model, sampler, runner, n_chains, key, interpret=None,
     model kind (GLM kernels vs the custom-target kernel)."""
     from ..samplers.chees import ChEESHMC
 
+    from ..samplers.nuts import NUTS
+
     if isinstance(sampler, ChEESHMC):
         return warmfused_chees_chains(model, sampler, runner, n_chains, key,
                                       interpret=interpret, mesh=mesh)
+    if isinstance(sampler, NUTS):
+        return warmfused_nuts_chains(model, sampler, runner, n_chains, key,
+                                     interpret=interpret, mesh=mesh)
     if getattr(model, "glm_spec", None) is None:
         return warmfused_target_chains(model, sampler, runner, n_chains,
                                        key, interpret=interpret, mesh=mesh)
@@ -827,3 +840,91 @@ def fused_continue_chains(model, sampler, states, steps, key,
         out = _frozen_states(model, sampler, states, theta_model, eps,
                              nl, steps)
     return infos, out
+
+
+def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
+                          interpret=None, mesh=None):
+    """NUTS warm handoff (OPT-IN via ``NUTS(warm_handoff=True)``).
+
+    Post-warmup NUTS pays the deepest-tree-in-batch tax forever: the
+    vmapped tree build runs every chain to the batch's deepest doubling
+    even though the tree-depth distribution is stationary once adaptation
+    froze.  The handoff freezes what warmup actually learned —
+
+    * ``eps``: the dual-averaged step (``exp(lebar)``, the same value the
+      generic sampler would use for every post-burnin step,
+      reference NUTS.jl:121-125 freeze semantics), pooled by median;
+    * the **empirical trajectory length**: the median leapfrogs per tree
+      (``2^ndoublings - 1``) over the second half of warmup, i.e. the
+      U-turn criterion's own stationary choice of path length;
+    * the pooled diagonal metric, folded like the HMC pipeline —
+
+    and runs the sampling phase through the ChEES-style dynamic-length
+    kernel: Halton-jittered lengths around the empirical median (jitter
+    avoids the resonance pathologies of a fixed length that the U-turn
+    rule was protecting against).  Sampling-phase chains are exact
+    fixed-kernel MCMC; what is given up is only the per-step U-turn
+    adaptivity — gate statistically before adopting (tests/test_warmfused
+    and the chees_vs_nuts benchlog rows quantify the trade).
+    """
+    from .pallas_glm import pad_chains
+
+    spec = model.glm_spec
+    assert spec is not None and _warm_ok(model, sampler, runner), \
+        "warmfused_nuts_chains requires NUTS(warm_handoff=True) on a GLM"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    key, k_init, k_warm, k_samp = jax.random.split(key, 4)
+    states_w, infos_w = _warmup(model, sampler, runner, n_chains,
+                                k_init, k_warm, mesh=mesh)
+    eps = float(np.median(np.exp(np.asarray(states_w.lebar))))
+    j = np.asarray(infos_w["ndoublings"], np.float64)
+    half = j.shape[0] // 2
+    leaps = np.maximum(2.0 ** j[half:] - 1.0, 1.0)
+    T = float(np.median(leaps)) * eps
+    s = _pool_mass(sampler._kind, states_w)
+    d = model.size
+    from . import pallas_glm_bign as bn
+
+    big_n = spec.X.shape[0] > bn.BIGN_THRESHOLD
+    tile_n = bn.TILE_N if big_n else None
+    XT, Y2, d_pad, theta0, lam, lam_fold, W, O = _fold(
+        spec, d, states_w, s, tiled=big_n, tile_n=tile_n)
+
+    steps2 = runner.len - runner.burnin
+    theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+    kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
+              max_leaps=2 ** sampler.maxdoublings, interpret=interpret,
+              kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
+              integrator="leapfrog")
+
+    def run_phase(th0, k, block):
+        if big_n:
+            return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
+                                   jnp.float32(T), k, tile_n=tile_n,
+                                   block_chains=block, **kw)
+        return _chees_run(XT, Y2, th0, jnp.float32(eps), jnp.float32(T), k,
+                          block_chains=block, **kw)
+
+    (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
+                                            n_chains, mesh)
+    infos2u, theta_model = _unfold(infos2, thetaF, s, d,
+                                   extra_keys=("epsilon", "nleaps"))
+    cat = lambda a, b: jnp.concatenate(  # noqa: E731
+        [jnp.asarray(a), jnp.asarray(b, jnp.asarray(a).dtype)], axis=0)
+    nl_warm = (2 ** jnp.asarray(infos_w["ndoublings"], jnp.int32)) - 1
+    infos = {k: cat(infos_w[k], infos2u[k])
+             for k in ("ppars", "pgrads", "plogtarget", "accept",
+                       "epsilon")}
+    infos["nleaps"] = cat(nl_warm, infos2u["nleaps"])
+
+    theta_model = theta_model.astype(states_w.pars.dtype)
+    states = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
+        states_w, theta_model)
+    dt = states.epsilon.dtype
+    states = states.replace(
+        epsilon=jnp.full((n_chains,), eps, dt),
+        lebar=jnp.full((n_chains,), np.log(eps), dt),
+        i=states.i + steps2)
+    return infos, states

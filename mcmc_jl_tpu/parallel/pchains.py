@@ -257,10 +257,11 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                     if getattr(t.model, "glm_spec", None) is not None:
                         from ..ops.glm_hmc import model_kernel_supported
                         from ..samplers.chees import ChEESHMC
+                        from ..samplers.nuts import NUTS
 
                         kindm = getattr(t.sampler, "_kind", None)
                         mat = kindm == "dense"
-                        dyn = isinstance(t.sampler, ChEESHMC)
+                        dyn = isinstance(t.sampler, (ChEESHMC, NUTS))
                         use_warm = model_kernel_supported(
                             t.model, t.sampler, n,
                             vec_prior=kindm is not None and not mat,

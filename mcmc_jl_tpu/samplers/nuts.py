@@ -92,6 +92,15 @@ class NUTS(Sampler):
     #: subtree merges by logsumexp-weighted reservoir, outer merge biased
     #: toward the new subtree.  Better ESS/gradient at identical cost.
     multinomial: bool = False
+    #: opt-in warm handoff (round 4, ops/warmstart.py): after burn-in,
+    #: freeze the dual-averaged eps and the warmup's EMPIRICAL trajectory
+    #:-length distribution (median leapfrogs per tree) and hand the
+    #: sampling phase to the ChEES-style fused kernel (Halton-jittered
+    #: lengths around the empirical median).  Vmapped NUTS pays the
+    #: deepest-tree-in-batch tax on every post-warmup step even though the
+    #: tree depth distribution is stationary by then — the handoff trades
+    #: the per-step U-turn criterion for that tax.  GLM posteriors only.
+    warm_handoff: bool = False
 
     needs_gradient = True
 

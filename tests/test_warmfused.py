@@ -401,6 +401,37 @@ def test_warmfused_sharded_matches_unsharded_stats():
     assert np.ptp(nl) > 0  # and step-jittered
 
 
+def test_warmfused_nuts_handoff_matches_generic():
+    """Opt-in NUTS warm handoff: frozen DA eps + the warmup's empirical
+    trajectory-length distribution through the dynamic-length kernel must
+    match staying-NUTS statistics (VERDICT r3 stretch #9)."""
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.NUTS(maxdoublings=5, warm_handoff=True)
+    task = m * s * mc.SerialMC(steps=900, burnin=300)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+    # default stays pure NUTS
+    assert not warm_eligible(
+        MCMCTask(m, mc.NUTS(maxdoublings=5), task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(m * mc.NUTS(maxdoublings=5) * task.runner, chains=8,
+                        seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+
+    c0 = chains_warm[0]
+    # handoff rows: frozen shared eps, jittered nleaps around the
+    # empirical median; warmup rows keep the DA trace
+    eps_tail = c0.diagnostics["epsilon"][-300:]
+    assert np.ptp(eps_tail) < 1e-12 and eps_tail[0] > 0
+    assert np.ptp(c0.diagnostics["nleaps"][-300:]) > 0
+    assert mc.acceptance(c0) > 40
+    st = c0.task.state
+    assert float(st.epsilon) == float(np.exp(st.lebar))
+    c1 = mc.resume(c0, steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+
+
 def test_fused_resume_list_continues_at_fused_route():
     """resume(list) of an adapted GLM run re-batches the chains and routes
     the continuation through the fused kernels (VERDICT r3 missing #2:
