@@ -164,6 +164,13 @@ def run():
                 rate_cont, "leapfrog/s"))
     out.append(("warmfused: fused resume vs plain fused (rate ratio)",
                 rate_cont / max(rate_plain, 1e-12), "x"))
+    # per-TRANSITION ratio: the frozen trajectory length usually differs
+    # from the plain config's n_leaps, and shorter trajectories amortize
+    # the per-transition overhead over fewer leapfrogs — transitions/s is
+    # the length-normalized comparison
+    out.append(("warmfused: fused resume vs plain fused (per-transition "
+                "ratio)",
+                (C * cont_steps / dt_cont) / (C * steps / dt_plain), "x"))
 
     # --- ChEES warm-fused transition rate --------------------------------
     sampler_ch = mc.ChEESHMC(len0=0.5, max_leaps=64)
