@@ -478,6 +478,27 @@ def test_fused_resume_list_continues_at_fused_route():
     assert np.all(np.isfinite(cont2[0].samples.values))
 
 
+def test_resume_list_heterogeneous_groups():
+    """presume_serialmc splits a mixed chain list into homogeneous groups
+    and resumes each (fused where eligible, generic otherwise), preserving
+    list order."""
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    r = mc.SerialMC(steps=300, burnin=100)
+    a = mc.run(m * mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=50)) * r,
+               chains=2, seed=0, fused=True)
+    b = mc.run(m * mc.RWM(0.1) * r, chains=2, seed=1)
+    mixed = [a[0], b[0], a[1], b[1]]
+    cont = mc.resume(mixed, steps=50)
+    assert len(cont) == 4
+    for i, c in enumerate(cont):
+        assert c.samples.shape[0] == 50
+        assert np.all(np.isfinite(c.samples.values)), i
+    # order preserved: HMC chains carry tuner state, RWM chains don't
+    assert hasattr(cont[0].task.state, "tune")
+    assert not hasattr(cont[1].task.state, "tune")
+
+
 def test_fused_resume_target_and_chees():
     """Fused continuation covers the custom-target and ChEES families."""
     m = _aniso_target_model()
