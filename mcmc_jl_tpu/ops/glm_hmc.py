@@ -322,8 +322,6 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
 
     folded = vec_prior or mat_prior
     if N > BIGN_THRESHOLD:
-        if mat_prior:
-            return False  # dense fold not wired into the tiled driver
         # dyn_len needs no kernel variant here: the tiled driver's leapfrog
         # loop lives in XLA, where a traced trip count is a while_loop
         # (ops/warmstart.py ChEES big-N path)
@@ -336,7 +334,7 @@ def model_kernel_supported(model, sampler, n_chains=256, vec_prior=False,
             use_w=(N % TILE_N != 0) or spec.weights is not None,
             use_o=spec.offsets is not None,
             unit_prior=not folded and float(spec.prior_prec) == 1.0,
-            vec_prior=vec_prior)
+            vec_prior=vec_prior, mat_prior=mat_prior)
     return trajectory_kernel_supported(
         d_pad, N, _pick_block(n_chains), kind=spec.kind,
         use_w=spec.weights is not None, use_o=spec.offsets is not None,

@@ -42,7 +42,7 @@ TILE_N = 8192
 
 
 def _grad_kernel(*refs, mxu_dtype, kind, use_w, use_o, unit_prior,
-                 vec_prior):
+                 vec_prior, mat_prior=False):
     """Accumulate one observation tile's (log-lik, gradient) contribution.
 
     Grid = (chain blocks, obs tiles); obs is the fast (sequential) axis, so
@@ -58,7 +58,7 @@ def _grad_kernel(*refs, mxu_dtype, kind, use_w, use_o, unit_prior,
     g_out, lp_out = list(it)
 
     j = pl.program_id(1)
-    lam = lam_ref[:] if vec_prior else lam_ref[0, 0]
+    lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
     ll_fn, resid_fn = link_terms(kind, kernel=True)
 
     theta = theta_ref[:]
@@ -81,7 +81,11 @@ def _grad_kernel(*refs, mxu_dtype, kind, use_w, use_o, unit_prior,
 
     @pl.when(j == 0)
     def _seed():
-        prior = lam * theta if not unit_prior else theta
+        if mat_prior:  # dense-mass fold: symmetric (d_pad, d_pad) matrix
+            prior = jnp.dot(theta, lam,
+                            preferred_element_type=jnp.float32)
+        else:
+            prior = lam * theta if not unit_prior else theta
         quad = jnp.sum(prior * theta, axis=1, keepdims=True)
         g_out[:] = g_part - prior
         lp_out[:] = ll_part - 0.5 * jnp.broadcast_to(quad, lp_out.shape)
@@ -96,12 +100,13 @@ def _grad_kernel(*refs, mxu_dtype, kind, use_w, use_o, unit_prior,
     jax.jit,
     static_argnames=("tile_n", "block_chains", "interpret", "mxu_dtype",
                      "kind", "_use_w", "_use_o", "_unit_prior",
-                     "_vec_prior"))
+                     "_vec_prior", "_mat_prior"))
 def glm_logp_grad_tiled(XT, Y, theta, *, tile_n=TILE_N, block_chains=256,
                         interpret=False, mxu_dtype=jnp.float32,
                         kind="logistic", weights=None, offsets=None,
                         prior_prec=1.0, _use_w=False, _use_o=False,
-                        _unit_prior=True, _vec_prior=False):
+                        _unit_prior=True, _vec_prior=False,
+                        _mat_prior=False):
     """One N-tiled (logp, grad) evaluation for all chains.
 
     ``XT`` is (d_pad, N) with N a multiple of ``tile_n`` (see
@@ -115,7 +120,8 @@ def glm_logp_grad_tiled(XT, Y, theta, *, tile_n=TILE_N, block_chains=256,
     blk = min(block_chains, C)
     assert C % blk == 0
     n_tiles = N // tile_n
-    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad)
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad,
+                                  mat_prior=_mat_prior)
 
     grid = (C // blk, n_tiles)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i, j: (i, 0),
@@ -125,7 +131,10 @@ def glm_logp_grad_tiled(XT, Y, theta, *, tile_n=TILE_N, block_chains=256,
     obs_spec = pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
                             memory_space=pltpu.VMEM)
     # _lam_input's specs are 1-arg index maps (1-D grid); re-wrap for 2-D
-    if _vec_prior:
+    if _mat_prior:
+        lam_spec = pl.BlockSpec((d_pad, d_pad), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+    elif _vec_prior:
         lam_spec = pl.BlockSpec((1, d_pad), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)
     else:
@@ -147,7 +156,7 @@ def glm_logp_grad_tiled(XT, Y, theta, *, tile_n=TILE_N, block_chains=256,
         functools.partial(_grad_kernel, mxu_dtype=mxu_dtype, kind=kind,
                           use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior,
-                          vec_prior=_vec_prior),
+                          vec_prior=_vec_prior, mat_prior=_mat_prior),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
@@ -201,13 +210,16 @@ def _run_bign(XT, Y, theta0, eps, key, *, d, steps, n_leaps, tile_n,
     The trajectory loop lives in XLA (kick/drift on the (C, d_pad) state is
     noise next to the streamed X^T); every gradient is one tiled-kernel
     launch.  Same trajectory/accept math as glm_hmc._run."""
+    from .pallas_glm import is_mat_prior
+
     C, d_pad = theta0.shape
     prior = lam if lam_vec is None else lam_vec
+    mat = lam_vec is not None and is_mat_prior(lam_vec)
     kw = dict(tile_n=tile_n, block_chains=block_chains, interpret=interpret,
               mxu_dtype=mxu_dtype, kind=kind, weights=W, offsets=O,
               prior_prec=prior, _use_w=W is not None, _use_o=O is not None,
               _unit_prior=lam_vec is None and float(lam) == 1.0,
-              _vec_prior=lam_vec is not None)
+              _vec_prior=lam_vec is not None and not mat, _mat_prior=mat)
 
     def logp_grad(theta):
         return glm_logp_grad_tiled(XT, Y, theta, **kw)
@@ -303,11 +315,11 @@ _BIGN_PROBE_CACHE = {}
 
 def bign_kernel_supported(d_pad, N_pad, blk, tile_n=TILE_N, kind="logistic",
                           use_w=False, use_o=False, unit_prior=True,
-                          vec_prior=False):
+                          vec_prior=False, mat_prior=False):
     """Compile-probe the tiled gradient kernel (same degrade-don't-fail
     policy as the other fused paths)."""
     sig = (d_pad, N_pad, blk, tile_n, kind if isinstance(kind, str)
-           else id(kind), use_w, use_o, unit_prior, vec_prior,
+           else id(kind), use_w, use_o, unit_prior, vec_prior, mat_prior,
            jax.default_backend())
     hit = _BIGN_PROBE_CACHE.get(sig)
     if hit is not None:
@@ -320,19 +332,21 @@ def bign_kernel_supported(d_pad, N_pad, blk, tile_n=TILE_N, kind="logistic",
         extra.append(f32((1, N_pad), jnp.float32))
     if vec_prior:
         extra.append(f32((1, d_pad), jnp.float32))
+    if mat_prior:
+        extra.append(f32((d_pad, d_pad), jnp.float32))
 
     def probe(XT, Y, th, *wo):
         kw = dict(tile_n=tile_n, block_chains=blk, interpret=False,
                   kind=kind, _use_w=use_w, _use_o=use_o,
-                  _unit_prior=unit_prior and not vec_prior,
-                  _vec_prior=vec_prior,
+                  _unit_prior=unit_prior and not (vec_prior or mat_prior),
+                  _vec_prior=vec_prior, _mat_prior=mat_prior,
                   prior_prec=1.0 if unit_prior else 0.5)
         it = iter(wo)
         if use_w:
             kw["weights"] = next(it)
         if use_o:
             kw["offsets"] = next(it)
-        if vec_prior:
+        if vec_prior or mat_prior:
             kw["prior_prec"] = next(it)
         return glm_logp_grad_tiled(XT, Y, th, **kw)
 

@@ -61,17 +61,28 @@ def coordwise_logp(logpdf, d, d_pad=None, safe=0.5):
     return logp_block
 
 
-def _kernel(eps_ref, theta_ref, m_ref, grad_ref,
-            theta_out, m_out, grad_out, lp_out, *,
-            logp_block, n_leaps, integrator, vec_eps=False):
+def _kernel(*refs, logp_block, n_leaps, integrator, vec_eps=False,
+            dyn_len=False):
     """One fused HMC trajectory for a block of chains on a custom target.
 
     ``vec_eps=True`` reads a per-coordinate (1, d_pad) step-size row instead
     of the SMEM scalar: kick and drift broadcast it column-wise, which IS
     diagonal-mass HMC in theta-space (``eps_j = eps * s_j`` — the identical
     fold the generic engine applies, samplers/hmc.py step) — the warm-start
-    pipeline's frozen metric for custom targets (ops/warmstart.py)."""
+    pipeline's frozen metric for custom targets (ops/warmstart.py).
+
+    ``dyn_len=True`` reads the leap count from an SMEM scalar: a runtime
+    trip count, so ONE compiled kernel serves every Halton-jittered
+    trajectory length of a ChEES / NUTS-handoff sampling phase on a
+    data-free target (the custom-target analog of pallas_glm's dyn_len)."""
+    it = iter(refs)
+    eps_ref = next(it)
+    nl_ref = next(it) if dyn_len else None
+    theta_ref, m_ref, grad_ref = (next(it) for _ in range(3))
+    theta_out, m_out, grad_out, lp_out = list(it)
+
     eps = eps_ref[:] if vec_eps else eps_ref[0, 0]
+    nl = nl_ref[0, 0] if dyn_len else n_leaps
     grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
 
     def logp_grad(th):
@@ -81,7 +92,7 @@ def _kernel(eps_ref, theta_ref, m_ref, grad_ref,
         return lp, g
 
     theta, m, g, lp = _trajectory(theta_ref[:], m_ref[:], grad_ref[:], eps,
-                                  grad_only, logp_grad, n_leaps=n_leaps,
+                                  grad_only, logp_grad, n_leaps=nl,
                                   integrator=integrator)
 
     theta_out[:] = theta
@@ -116,26 +127,37 @@ def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
     assert C % blk == 0, \
         f"block_chains ({blk}) must evenly divide the chain count ({C})"
     vec_eps = getattr(eps, "ndim", 0) >= 1 and np.size(eps) > 1
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     if vec_eps:
         eps2 = jnp.reshape(jnp.asarray(eps, jnp.float32), (1, d_pad))
         eps_spec = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     else:
         eps2 = jnp.reshape(jnp.float32(eps), (1, 1))
-        eps_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                memory_space=pltpu.SMEM)
+        eps_spec = smem_spec
+    dyn = not isinstance(n_leaps, int)
 
     grid = (C // blk,)
     chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
+    inputs = [eps2]
+    in_specs = [eps_spec]
+    if dyn:
+        inputs.append(jnp.reshape(jnp.asarray(n_leaps, jnp.int32), (1, 1)))
+        in_specs.append(smem_spec)
+    inputs += [theta, m, grad]
+    in_specs += [chain_spec, chain_spec, chain_spec]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, logp_block=logp_block, n_leaps=n_leaps,
-                          integrator=integrator, vec_eps=vec_eps),
+        functools.partial(_kernel, logp_block=logp_block,
+                          n_leaps=0 if dyn else n_leaps,
+                          integrator=integrator, vec_eps=vec_eps,
+                          dyn_len=dyn),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
-        in_specs=[eps_spec, chain_spec, chain_spec, chain_spec],
+        in_specs=in_specs,
         out_specs=[chain_spec, chain_spec, chain_spec,
                    pl.BlockSpec((blk, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
@@ -146,7 +168,7 @@ def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
             jax.ShapeDtypeStruct((C, LANE), theta.dtype),
         ],
         interpret=interpret,
-    )(eps2, theta, m, grad)
+    )(*inputs)
     theta, m, grad, lp = out
     return theta, m, grad, lp[:, 0]
 
@@ -308,7 +330,8 @@ _TARGET_PROBE_CACHE = {}
 
 
 def target_kernel_supported(logp_block, d_pad, blk=128,
-                            integrator="leapfrog", vec_eps=False):
+                            integrator="leapfrog", vec_eps=False,
+                            dyn_len=False):
     """Compile-probe the fused custom-target kernel on the current backend.
 
     A user ``logp_block`` may contain ops Mosaic cannot lower; routing must
@@ -316,9 +339,11 @@ def target_kernel_supported(logp_block, d_pad, blk=128,
     (the round-1 GLM step-kernel lesson).  AOT ``lower().compile()`` on
     abstract avals, cached per (function, shape) signature.
     ``vec_eps=True`` probes the per-coordinate step-size variant the
-    warm-start diagonal-mass fold uses (ops/warmstart.py).
+    warm-start diagonal-mass fold uses; ``dyn_len=True`` the runtime
+    trip-count variant of the ChEES / NUTS-handoff phases
+    (ops/warmstart.py).
     """
-    sig = (logp_block, d_pad, blk, integrator, vec_eps,
+    sig = (logp_block, d_pad, blk, integrator, vec_eps, dyn_len,
            jax.default_backend())
     hit = _TARGET_PROBE_CACHE.get(sig)
     if hit is not None:
@@ -326,12 +351,16 @@ def target_kernel_supported(logp_block, d_pad, blk=128,
     f32 = jax.ShapeDtypeStruct
     cd = f32((blk, d_pad), jnp.float32)
     eps_aval = f32((1, d_pad), jnp.float32) if vec_eps else f32((), jnp.float32)
+    extra = [jax.ShapeDtypeStruct((), jnp.int32)] if dyn_len else []
+
+    def probe(th, m, g, eps, *nl):
+        return fused_target_leapfrogs(
+            logp_block, th, m, g, eps,
+            n_leaps=nl[0] if dyn_len else 2, block_chains=blk,
+            integrator=integrator)
+
     try:
-        jax.jit(
-            lambda *a: fused_target_leapfrogs(
-                logp_block, *a, n_leaps=2, block_chains=blk,
-                integrator=integrator)
-        ).lower(cd, cd, cd, eps_aval).compile()
+        jax.jit(probe).lower(cd, cd, cd, eps_aval, *extra).compile()
         ok = True
     except Exception as e:  # pragma: no cover - backend-specific
         import logging

@@ -59,19 +59,15 @@ def _warm_ok(model, sampler, runner):
     glm = getattr(model, "glm_spec", None) is not None
     if not glm and model.size > 1024:
         return False  # custom-target kernel VMEM bound (pchains routing)
-    big_n = False
-    if glm:
-        from .pallas_glm_bign import BIGN_THRESHOLD
-
-        big_n = model.glm_spec.X.shape[0] > BIGN_THRESHOLD
     s = sampler
     if isinstance(s, HMC):
         if s.store_leaps or s.integrator not in ("leapfrog", "2stage",
                                                  "3stage"):
             return False
-        if s._kind == "dense" and not (glm and not big_n):
-            # dense-mass fold: matrix-prior GLM kernels only (the tiled
-            # big-N driver and the custom-target kernel have no fold)
+        if s._kind == "dense" and not glm:
+            # dense-mass fold: matrix-prior GLM kernels only (small-N
+            # trajectory kernel AND the N-tiled driver); the custom-target
+            # kernel has no fold
             return False
         if s._kind not in (None, "diag", "diag-win", "dense"):
             return False
@@ -81,11 +77,10 @@ def _warm_ok(model, sampler, runner):
                 and s.integrator in ("leapfrog", "2stage", "3stage"))
     if isinstance(s, ChEESHMC):
         # post-burnin ChEES is fixed-eps HMC with shared Halton-jittered
-        # trajectory lengths: the dynamic-trip-count kernel (small N) or
-        # the N-tiled XLA-loop driver (big N) serves it — GLM posteriors
-        # only; the custom-target kernel has no dynamic-length variant yet
-        return (glm and getattr(s, "_kind", None) in (None, "diag",
-                                                      "diag-win")
+        # trajectory lengths: the dynamic-trip-count GLM kernel (small N),
+        # the N-tiled XLA-loop driver (big N), or the dyn-len custom-target
+        # kernel (data-free non-GLM models) serves it
+        return (getattr(s, "_kind", None) in (None, "diag", "diag-win")
                 and s.integrator in ("leapfrog", "2stage", "3stage"))
     from ..samplers.nuts import NUTS
 
@@ -93,7 +88,7 @@ def _warm_ok(model, sampler, runner):
         # OPT-IN warm handoff: frozen DA eps + the warmup's empirical
         # trajectory-length distribution through the ChEES-style
         # dynamic-length kernel (see warmfused_nuts_chains)
-        return (s.warm_handoff and glm
+        return (s.warm_handoff
                 and s._kind in (None, "diag", "diag-win"))
     return False
 
@@ -625,16 +620,104 @@ def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
     return jax.lax.scan(step, (theta0, lp0, g0), (keys, iabs))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("logp_block", "d", "steps", "i0", "max_leaps",
+                     "block_chains", "interpret", "integrator"))
+def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
+                      i0, max_leaps, block_chains, interpret,
+                      integrator="leapfrog"):
+    """Dynamic-length fused sampling phase on a DATA-FREE target: per step
+    the shared Halton-jittered leap count (``ceil(halton2(i0+t) T / eps)``,
+    the ChEES rule) feeds the custom-target kernel's runtime trip count;
+    ``eps_in`` is the kernel step (scalar, or a (d_pad,) per-coordinate row
+    carrying the frozen diag metric) while ``eps`` is the scalar the length
+    rule uses (the metric rescales velocity, not integration time)."""
+    from ..samplers.chees import halton2
+    from .pallas_target import fused_target_leapfrogs
+
+    C, d_pad = theta0.shape
+    grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
+    lp0 = logp_block(theta0)[:, 0]
+    g0 = grad_only(theta0)
+
+    def refresh(k):
+        m = jax.random.normal(k, (C, d), dtype=jnp.float32)
+        return jnp.pad(m, ((0, 0), (0, d_pad - d)))
+
+    def step(carry, inp):
+        theta, lp, g = carry
+        k, i_abs = inp
+        u = halton2(i_abs).astype(jnp.float32)
+        nl = jnp.clip(jnp.ceil(u * T / eps), 1, max_leaps).astype(jnp.int32)
+        k_mom, k_acc = jax.random.split(k)
+        m0 = refresh(k_mom)
+        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
+        p_th, p_m, p_g, p_lp = fused_target_leapfrogs(
+            logp_block, theta, m0, g, eps_in, n_leaps=nl,
+            block_chains=block_chains, interpret=interpret,
+            integrator=integrator)
+        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
+        ratio = H0 - H
+        alpha = jnp.where(jnp.isnan(ratio), 0.0,
+                          jnp.exp(jnp.minimum(ratio, 0.0)))
+        logu = jnp.log(jax.random.uniform(k_acc, (C,), dtype=jnp.float32))
+        accept = jnp.where(jnp.isnan(ratio), False,
+                           (ratio > 0) | (ratio > logu))
+        a = accept[:, None]
+        theta = jnp.where(a, p_th, theta)
+        g = jnp.where(a, p_g, g)
+        lp = jnp.where(accept, p_lp, lp)
+        info = {"ppars": theta[:, :d], "pgrads": g[:, :d],
+                "plogtarget": lp, "accept": accept, "alpha": alpha,
+                "epsilon": jnp.broadcast_to(eps, (C,)),
+                "nleaps": jnp.broadcast_to(nl, (C,))}
+        return (theta, lp, g), info
+
+    keys = jax.random.split(key, steps)
+    iabs = i0 + jnp.arange(steps, dtype=jnp.int32)
+    return jax.lax.scan(step, (theta0, lp0, g0), (keys, iabs))
+
+
+def _dyn_target_phase(model, integrator, eps, T, max_leaps, s, states_w,
+                      steps2, i0, k_samp, n_chains, interpret, mesh):
+    """Run the dynamic-length custom-target sampling phase (shared by the
+    ChEES and NUTS-handoff pipelines on non-GLM models)."""
+    from .pallas_glm import LANE, _round_up, pad_chains
+    from .pallas_target import model_block_fn
+
+    d = model.size
+    d_pad = _round_up(d, LANE)
+    if s is not None:
+        eps_in = jnp.asarray(
+            np.concatenate([eps * s, np.full(d_pad - d, eps)]), jnp.float32)
+    else:
+        eps_in = jnp.float32(eps)
+    logp_block = model_block_fn(model)
+    theta0p = pad_chains(
+        jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
+
+    def run_phase(th0, k, block):
+        return _chees_target_run(logp_block, th0, eps_in, jnp.float32(eps),
+                                 jnp.float32(T), k, d=d, steps=steps2,
+                                 i0=i0, max_leaps=max_leaps,
+                                 block_chains=block, interpret=interpret,
+                                 integrator=integrator)
+
+    return _mesh_phase(run_phase, theta0p, k_samp, n_chains, mesh)
+
+
 def warmfused_chees_chains(model, sampler, runner, n_chains, key,
                            interpret=None, mesh=None):
     """ChEES-HMC warm-start pipeline (same contract as
     :func:`warmfused_hmc_chains`): cross-chain pooled adaptation (dual
     averaging + Adam on log T + optional diag mass) runs on the generic
     engine for the burn-in window; the frozen ``(eps, T, metric)`` drive the
-    dynamic-length fused kernel for the sampling phase.  ``mesh`` shards
-    the chain axis (sampling phase shard_map'd per device — the Halton
-    sequence depends only on the step index, so every shard integrates the
-    same shared trajectory lengths)."""
+    dynamic-length fused kernel for the sampling phase — the GLM kernel,
+    the N-tiled driver (large N), or the custom-target kernel (data-free
+    non-GLM models).  ``mesh`` shards the chain axis (sampling phase
+    shard_map'd per device — the Halton sequence depends only on the step
+    index, so every shard integrates the same shared trajectory lengths)."""
     from .pallas_glm import pad_chains
 
     spec = model.glm_spec
@@ -654,33 +737,45 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
     T = float(np.exp(np.median(np.asarray(states_w.log_len))))
     s = _pool_mass(sampler._kind, states_w)
     d = model.size
-    from . import pallas_glm_bign as bn
-
-    big_n = spec.X.shape[0] > bn.BIGN_THRESHOLD
-    tile_n = bn.TILE_N if big_n else None
-    XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(
-        spec, d, states_w, s, tiled=big_n, tile_n=tile_n)
-
     steps2 = runner.len - runner.burnin
-    theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
-    kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
-              max_leaps=sampler.max_leaps, interpret=interpret,
-              kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
-              integrator=sampler.integrator)
 
-    def run_phase(th0, k, block):
-        if big_n:
-            return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
-                                   jnp.float32(T), k, tile_n=tile_n,
-                                   block_chains=block, **kw)
-        return _chees_run(XT, Y2, th0, jnp.float32(eps), jnp.float32(T), k,
-                          block_chains=block, **kw)
+    if spec is None:
+        # data-free custom target: metric rides the kernel's vec-eps row,
+        # theta-space throughout (no unfold)
+        (thetaF, lpF, gF), infos2 = _dyn_target_phase(
+            model, sampler.integrator, eps, T, sampler.max_leaps, s,
+            states_w, steps2, runner.burnin + 1, k_samp, n_chains,
+            interpret, mesh)
+        infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, None, d,
+                                         extra_keys=("alpha", "epsilon",
+                                                     "nleaps"))
+    else:
+        from . import pallas_glm_bign as bn
 
-    (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
-                                            n_chains, mesh)
-    infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, s, d,
-                                     extra_keys=("alpha", "epsilon",
-                                                 "nleaps"))
+        big_n = spec.X.shape[0] > bn.BIGN_THRESHOLD
+        tile_n = bn.TILE_N if big_n else None
+        XT, Y2, d_pad, theta0, lam, lam_vec, W, O = _fold(
+            spec, d, states_w, s, tiled=big_n, tile_n=tile_n)
+
+        theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+        kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
+                  max_leaps=sampler.max_leaps, interpret=interpret,
+                  kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
+                  integrator=sampler.integrator)
+
+        def run_phase(th0, k, block):
+            if big_n:
+                return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
+                                       jnp.float32(T), k, tile_n=tile_n,
+                                       block_chains=block, **kw)
+            return _chees_run(XT, Y2, th0, jnp.float32(eps),
+                              jnp.float32(T), k, block_chains=block, **kw)
+
+        (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
+                                                n_chains, mesh)
+        infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, s, d,
+                                         extra_keys=("alpha", "epsilon",
+                                                     "nleaps"))
 
     theta_model = theta_model.astype(states_w.pars.dtype)
     states = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
@@ -713,17 +808,12 @@ def continue_eligible(task):
     glm = getattr(model, "glm_spec", None) is not None
     if not glm and model.size > 1024:
         return False
-    big_n = False
-    if glm:
-        from .pallas_glm_bign import BIGN_THRESHOLD
-
-        big_n = model.glm_spec.X.shape[0] > BIGN_THRESHOLD
     ok_integ = ("leapfrog", "2stage", "3stage")
     if isinstance(s, HMC):
         if s.store_leaps or s.integrator not in ok_integ:
             return False
-        if s._kind == "dense" and not (glm and not big_n):
-            return False
+        if s._kind == "dense" and not glm:
+            return False  # dense fold: GLM kernels only
         return s._kind in (None, "diag", "diag-win", "dense")
     if isinstance(s, HMCDA):
         return not s.store_leaps and s.integrator in ok_integ
@@ -870,8 +960,8 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
     from .pallas_glm import pad_chains
 
     spec = model.glm_spec
-    assert spec is not None and _warm_ok(model, sampler, runner), \
-        "warmfused_nuts_chains requires NUTS(warm_handoff=True) on a GLM"
+    assert _warm_ok(model, sampler, runner), \
+        "warmfused_nuts_chains requires NUTS(warm_handoff=True)"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -885,32 +975,42 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
     T = float(np.median(leaps)) * eps
     s = _pool_mass(sampler._kind, states_w)
     d = model.size
-    from . import pallas_glm_bign as bn
-
-    big_n = spec.X.shape[0] > bn.BIGN_THRESHOLD
-    tile_n = bn.TILE_N if big_n else None
-    XT, Y2, d_pad, theta0, lam, lam_fold, W, O = _fold(
-        spec, d, states_w, s, tiled=big_n, tile_n=tile_n)
-
     steps2 = runner.len - runner.burnin
-    theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
-    kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
-              max_leaps=2 ** sampler.maxdoublings, interpret=interpret,
-              kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
-              integrator="leapfrog")
+    max_leaps = 2 ** sampler.maxdoublings
 
-    def run_phase(th0, k, block):
-        if big_n:
-            return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
-                                   jnp.float32(T), k, tile_n=tile_n,
-                                   block_chains=block, **kw)
-        return _chees_run(XT, Y2, th0, jnp.float32(eps), jnp.float32(T), k,
-                          block_chains=block, **kw)
+    if spec is None:
+        # data-free custom target: metric rides the kernel's vec-eps row
+        (thetaF, lpF, gF), infos2 = _dyn_target_phase(
+            model, "leapfrog", eps, T, max_leaps, s, states_w, steps2,
+            runner.burnin + 1, k_samp, n_chains, interpret, mesh)
+        infos2u, theta_model = _unfold(infos2, thetaF, None, d,
+                                       extra_keys=("epsilon", "nleaps"))
+    else:
+        from . import pallas_glm_bign as bn
 
-    (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
-                                            n_chains, mesh)
-    infos2u, theta_model = _unfold(infos2, thetaF, s, d,
-                                   extra_keys=("epsilon", "nleaps"))
+        big_n = spec.X.shape[0] > bn.BIGN_THRESHOLD
+        tile_n = bn.TILE_N if big_n else None
+        XT, Y2, d_pad, theta0, lam, lam_fold, W, O = _fold(
+            spec, d, states_w, s, tiled=big_n, tile_n=tile_n)
+
+        theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+        kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
+                  max_leaps=max_leaps, interpret=interpret,
+                  kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
+                  integrator="leapfrog")
+
+        def run_phase(th0, k, block):
+            if big_n:
+                return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
+                                       jnp.float32(T), k, tile_n=tile_n,
+                                       block_chains=block, **kw)
+            return _chees_run(XT, Y2, th0, jnp.float32(eps),
+                              jnp.float32(T), k, block_chains=block, **kw)
+
+        (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
+                                                n_chains, mesh)
+        infos2u, theta_model = _unfold(infos2, thetaF, s, d,
+                                       extra_keys=("epsilon", "nleaps"))
     cat = lambda a, b: jnp.concatenate(  # noqa: E731
         [jnp.asarray(a), jnp.asarray(b, jnp.asarray(a).dtype)], axis=0)
     nl_warm = (2 ** jnp.asarray(infos_w["ndoublings"], jnp.int32)) - 1

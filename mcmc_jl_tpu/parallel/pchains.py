@@ -267,20 +267,26 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                             vec_prior=kindm is not None and not mat,
                             mat_prior=mat, dyn_len=dyn)
                     else:
-                        # adaptive HMC/HMCDA on a data-free custom target:
-                        # the sampling phase runs the fused target kernel
-                        # (vec_eps = the frozen diag-metric fold) —
-                        # probe-guarded like every fused route
+                        # adaptive HMC/HMCDA/ChEES/NUTS-handoff on a
+                        # data-free custom target: the sampling phase runs
+                        # the fused target kernel (vec_eps = the frozen
+                        # diag-metric fold; dyn_len = the jittered-length
+                        # phases) — probe-guarded like every fused route
                         from ..ops.glm_hmc import _pick_block
                         from ..ops.pallas_glm import LANE, _round_up
                         from ..ops.pallas_target import (
                             model_block_fn, target_kernel_supported)
+                        from ..samplers.chees import ChEESHMC
+                        from ..samplers.nuts import NUTS
 
                         vec = getattr(t.sampler, "_kind", None) is not None
+                        dyn = isinstance(t.sampler, (ChEESHMC, NUTS))
                         use_warm = target_kernel_supported(
                             model_block_fn(t.model),
                             _round_up(t.model.size, LANE), _pick_block(n),
-                            integrator=t.sampler.integrator, vec_eps=vec)
+                            integrator=getattr(t.sampler, "integrator",
+                                               "leapfrog"),
+                            vec_eps=vec, dyn_len=dyn)
         if (use_fused or use_target or use_warm) and fused == "auto":
             import logging
 

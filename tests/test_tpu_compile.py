@@ -81,9 +81,21 @@ assert trajectory_kernel_supported(LANE, 1000, 256, unit_prior=False,
 assert trajectory_kernel_supported(LANE, 1000, 256, unit_prior=False,
                                    mat_prior=True), "mat-prior traj kernel"
 
-# round-4: per-coordinate step-size row (custom-target diag-mass fold)
+# round-4: per-coordinate step-size row (custom-target diag-mass fold),
+# dynamic trip count (ChEES/NUTS-handoff on targets), and both combined
 assert target_kernel_supported(blockfn, LANE, 128, vec_eps=True), \
     "vec-eps custom-target kernel failed Mosaic"
+assert target_kernel_supported(blockfn, LANE, 128, dyn_len=True), \
+    "dyn-len custom-target kernel failed Mosaic"
+assert target_kernel_supported(blockfn, LANE, 128, vec_eps=True,
+                               dyn_len=True), \
+    "vec+dyn custom-target kernel failed Mosaic"
+
+# round-4: matrix prior in the N-tiled gradient kernel (dense x big-N)
+from mcmc_jl_tpu.ops.pallas_glm_bign import bign_kernel_supported
+assert bign_kernel_supported(LANE, 16384, 256, unit_prior=False,
+                             use_w=True, mat_prior=True), \
+    "mat-prior tiled gradient kernel failed Mosaic"
 
 # multi-transition custom-target kernel (in-kernel hardware PRNG)
 from mcmc_jl_tpu.ops.pallas_target import _multistep_inner

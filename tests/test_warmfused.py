@@ -43,13 +43,15 @@ def test_warm_eligibility_matrix():
     # no burnin window -> nothing to adapt/freeze
     r0 = mc.SerialMC(steps=100, burnin=0)
     assert not warm_eligible(MCMCTask(m, mc.HMC(5, 0.1, tun), r0))
-    # non-GLM model: warm-eligible via the custom-target kernel (round 4);
-    # ChEES and the dense fold stay GLM-only
+    # non-GLM model: warm-eligible via the custom-target kernel (round 4)
+    # incl. ChEES and the NUTS handoff (dyn-len target kernel); the dense
+    # fold stays GLM-only (matrix prior has no target-kernel analog)
     m2 = mc.model(lambda v: -v @ v, gradient=True, init=jnp.zeros(2),
                   check_init=False)
     assert warm_eligible(MCMCTask(m2, mc.HMC(5, 0.1, tun), r))
     assert warm_eligible(MCMCTask(m2, mc.HMCDA(), r))
-    assert not warm_eligible(MCMCTask(m2, mc.ChEESHMC(), r))
+    assert warm_eligible(MCMCTask(m2, mc.ChEESHMC(), r))
+    assert warm_eligible(MCMCTask(m2, mc.NUTS(warm_handoff=True), r))
     assert not warm_eligible(MCMCTask(m2, mc.HMC(5, 0.1, mass_adapt="dense"),
                                       r))
 
@@ -303,6 +305,59 @@ def test_warmfused_target_mass_adapt_matches_generic():
     for k in ("ppars", "pgrads", "plogtarget", "accept"):
         assert k in infos and np.asarray(infos[k]).shape[0] == r.len
     assert np.all(np.isfinite(np.asarray(infos["ppars"])))
+
+
+def test_warmfused_chees_target_matches_generic():
+    """ChEES on a data-free NON-GLM target: the dyn-len custom-target
+    kernel serves the frozen (eps, T) sampling phase."""
+    m = _aniso_target_model()
+    s = mc.ChEESHMC(len0=0.5, max_leaps=32, mass_adapt="diag")
+    task = m * s * mc.SerialMC(steps=900, burnin=300)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+    var = np.mean([c.samples.values.var(0) for c in chains_warm], axis=0)
+    assert np.all(np.abs(var / np.array([4.0, 0.25, 1.0]) - 1.0) < 0.5), var
+    c0 = chains_warm[0]
+    assert np.ptp(c0.diagnostics["epsilon"][-300:]) < 1e-12
+    assert np.ptp(c0.diagnostics["nleaps"][-300:]) > 0
+
+
+def test_warmfused_nuts_handoff_target():
+    """NUTS warm handoff on a data-free NON-GLM target."""
+    m = _aniso_target_model()
+    s = mc.NUTS(maxdoublings=5, warm_handoff=True)
+    task = m * s * mc.SerialMC(steps=700, burnin=250)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    var = np.mean([c.samples.values.var(0) for c in chains_warm], axis=0)
+    assert np.all(np.abs(var / np.array([4.0, 0.25, 1.0]) - 1.0) < 0.5), var
+    assert np.mean([mc.acceptance(c) for c in chains_warm]) > 40
+
+
+def test_warmfused_dense_bign_route(monkeypatch):
+    """Dense metric x big-N: the matrix prior folds into the tiled
+    gradient kernel (round-4 closure of the last excluded cell)."""
+    import mcmc_jl_tpu.ops.pallas_glm_bign as bn
+
+    monkeypatch.setattr(bn, "BIGN_THRESHOLD", 100)
+    monkeypatch.setattr(bn, "TILE_N", 64)
+    X, Y = _corr_data(n=150)
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(6, 0.1, mass_adapt="dense")
+    task = m * s * mc.SerialMC(steps=900, burnin=400)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+    c0 = chains_warm[0]
+    rows = c0.samples.values[-5:]
+    lp_true = np.array([float(m.eval(jnp.asarray(r))) for r in rows])
+    np.testing.assert_allclose(c0.diagnostics["logtarget"][-5:], lp_true,
+                               rtol=1e-4, atol=5e-3)
 
 
 def test_warmfused_target_hmcda_matches_generic():
