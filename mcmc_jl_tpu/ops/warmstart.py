@@ -818,8 +818,7 @@ def continue_eligible(task):
     if isinstance(s, HMCDA):
         return not s.store_leaps and s.integrator in ok_integ
     if isinstance(s, ChEESHMC):
-        return (glm and getattr(s, "_kind", None) in (None, "diag",
-                                                      "diag-win")
+        return (getattr(s, "_kind", None) in (None, "diag", "diag-win")
                 and s.integrator in ok_integ)
     return False
 
@@ -895,6 +894,17 @@ def fused_continue_chains(model, sampler, states, steps, key,
                             block_chains=block, fused_step=False, **common)
 
             extras = ()
+    elif chees:
+        # ChEES continuation on a data-free target: the dyn-len phase runs
+        # its own mesh dispatch; Halton index continues from states.i
+        i0 = int(np.max(np.asarray(states.i)))
+        (thetaF, lpF, gF), infos2 = _dyn_target_phase(
+            model, sampler.integrator, eps, T, sampler.max_leaps, s,
+            states, steps, i0, key, n_chains, interpret, mesh)
+        infos, theta_model = _unfold(
+            infos2, thetaF, None, d,
+            extra_keys=("alpha", "epsilon", "nleaps"))
+        run_phase = None
     else:
         from .pallas_target import _run as _trun, model_block_fn
 
@@ -918,9 +928,11 @@ def fused_continue_chains(model, sampler, states, steps, key,
 
         extras = ()
 
-    (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, key,
-                                            n_chains, mesh)
-    infos, theta_model = _unfold(infos2, thetaF, s, d, extra_keys=extras)
+    if run_phase is not None:
+        (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, key,
+                                                n_chains, mesh)
+        infos, theta_model = _unfold(infos2, thetaF, s, d,
+                                     extra_keys=extras)
     if chees:
         theta_model = theta_model.astype(states.pars.dtype)
         out = jax.vmap(lambda st, th: sampler.reset(model, st, th))(

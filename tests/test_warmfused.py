@@ -575,6 +575,14 @@ def test_fused_resume_target_and_chees():
     assert np.ptp(c0.diagnostics["nleaps"]) > 0       # Halton continues
     assert np.all(np.isfinite(c0.samples.values))
 
+    # ChEES continuation on a data-free target (dyn-len target kernel)
+    st = mc.ChEESHMC(len0=0.5, max_leaps=32)
+    chains = mc.run(m * st * mc.SerialMC(steps=500, burnin=200), chains=4,
+                    seed=0, fused=True)
+    cont = mc.resume(chains, steps=200, fused=True)
+    assert np.ptp(cont[0].diagnostics["epsilon"]) < 1e-12
+    assert np.all(np.isfinite(cont[0].samples.values))
+
 
 def test_freeze_pools_median():
     X, Y = _data()
