@@ -130,13 +130,14 @@ def _bench_tpu(X, Y):
 
     nbeta = X.shape[1]
     XT, Y2, d_pad = pad_design(X, Y)
-    # 16384 chains x 1024-chain blocks measured fastest with VMEM headroom
-    # (sweep: 8192/1024 172.5M, 16384/1024 175.5M, 24576/1024 175.9M but
-    # near the 16M scoped-vmem limit, 16384/2048 + 32768/1024 OOM)
-    C, steps, n_leaps, blk = 16384, 2000, 10, 1024
-    # k_trans sweep on v5e (round 3): 50 -> 189.9M, 200 -> 192.8M
-    # leapfrog/s; 10 launches of 200 in-kernel transitions amortize the
-    # remaining per-launch overhead
+    # round-4 sweep (100 MB scoped VMEM; the old 16 MB limit OOM'd beyond
+    # 24576/1024): 16384 -> 193.0M, 24576 -> 195.0M, 49152 -> 196.8M,
+    # 65536 -> 197.3M, 98304 -> 197.7M leapfrog/s at blk=1024; blk 512/2048
+    # within noise.  65536 sits at the knee of the curve.
+    C, steps, n_leaps, blk = 65536, 2000, 10, 1024
+    # k_trans sweep on v5e: 50 -> 189.9M, 200 -> 193.0M, 400/500 flat;
+    # 10 launches of 200 in-kernel transitions amortize the remaining
+    # per-launch overhead
     k_trans = 200
     lf_total = C * steps * n_leaps
 
