@@ -365,14 +365,7 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     eps, nl, s = _freeze(sampler, states_w)
     d = model.size
     d_pad = _round_up(d, LANE)
-    if s is not None:
-        # per-coordinate step row; padded lanes get the scalar eps (their
-        # theta/m/grad are identically zero, so the value is inert)
-        eps_in = jnp.asarray(
-            np.concatenate([eps * s, np.full(d_pad - d, eps)]), jnp.float32)
-    else:
-        eps_in = jnp.float32(eps)
-
+    eps_in = _eps_row(eps, s, d, d_pad)
     logp_block = model_block_fn(model)
     theta0p = pad_chains(
         jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
@@ -464,42 +457,31 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
 # =========================================================================
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("d", "steps", "i0", "max_leaps", "block_chains",
-                     "interpret", "kind", "lam", "integrator"))
-def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
-               block_chains, interpret, kind="logistic", W=None, O=None,
-               lam=1.0, lam_vec=None, integrator="leapfrog"):
-    """Scan ``steps`` frozen-hyper ChEES transitions for all chains.
+def _eps_row(eps, s, d, d_pad):
+    """Kernel step input for the custom-target phases: the scalar ``eps``,
+    or — with a frozen diag metric ``s`` — the per-coordinate row
+    ``eps * s`` (padded lanes get the scalar; their state is inert)."""
+    if s is None:
+        return jnp.float32(eps)
+    return jnp.asarray(
+        np.concatenate([eps * s, np.full(d_pad - d, eps)]), jnp.float32)
+
+
+def _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, *, d, steps, i0,
+                max_leaps):
+    """Shared frozen-ChEES scan over ``steps`` transitions.
 
     Per step ``t`` the shared leap count is the sampler's own rule
     (chees.py step): ``nl = clip(ceil(halton2(i0+t) * T / eps), 1,
-    max_leaps)`` — a deterministic function of the step index, fed to the
-    kernel as a traced SMEM scalar.  Refresh + Metropolis run in XLA with
-    the same accept rule as the sampler."""
+    max_leaps)`` — a deterministic function of the step index (``i0`` may
+    be traced, so continuations don't recompile).  ``trajectory(theta, m0,
+    g, nl) -> (p_th, p_m, p_g, p_lp)`` supplies the integrator (GLM
+    kernel, N-tiled XLA loop, or custom-target kernel); momentum refresh +
+    the NaN-guarded Metropolis rule and the info protocol are this one
+    body for all three drivers."""
     from ..samplers.chees import halton2
-    from .pallas_glm import glm_hmc_leapfrogs, link_terms
 
     C, d_pad = theta0.shape
-    ll_fn, resid_fn = link_terms(kind)
-    prior = lam if lam_vec is None else lam_vec
-
-    def logp_grad(theta):
-        logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
-        if O is not None:
-            logits = logits + O
-        r = resid_fn(logits, Y)
-        ll = ll_fn(logits, Y)
-        if W is not None:
-            r, ll = W * r, W * ll
-        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) \
-            - prior * theta
-        lp = jnp.sum(ll, axis=1) \
-            - 0.5 * jnp.sum((prior * theta) * theta, axis=1)
-        return lp, g
-
-    lp0, g0 = logp_grad(theta0)
 
     def refresh(k):
         m = jax.random.normal(k, (C, d), dtype=jnp.float32)
@@ -513,10 +495,7 @@ def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
         k_mom, k_acc = jax.random.split(k)
         m0 = refresh(k_mom)
         H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
-        p_th, p_m, p_g, p_lp = glm_hmc_leapfrogs(
-            XT, Y, theta, m0, g, eps, n_leaps=nl,
-            block_chains=block_chains, interpret=interpret, kind=kind,
-            weights=W, offsets=O, prior_prec=prior, integrator=integrator)
+        p_th, p_m, p_g, p_lp = trajectory(theta, m0, g, nl)
         H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
         ratio = H0 - H
         alpha = jnp.where(jnp.isnan(ratio), 0.0,
@@ -536,13 +515,59 @@ def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
         return (theta, lp, g), info
 
     keys = jax.random.split(key, steps)
-    iabs = i0 + jnp.arange(steps, dtype=jnp.int32)
+    iabs = jnp.asarray(i0, jnp.int32) + jnp.arange(steps, dtype=jnp.int32)
     return jax.lax.scan(step, (theta0, lp0, g0), (keys, iabs))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d", "steps", "i0", "max_leaps", "tile_n",
+    static_argnames=("d", "steps", "max_leaps", "block_chains",
+                     "interpret", "kind", "lam", "integrator"))
+def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
+               block_chains, interpret, kind="logistic", W=None, O=None,
+               lam=1.0, lam_vec=None, integrator="leapfrog"):
+    """Frozen-hyper ChEES transitions through the dynamic-trip-count GLM
+    kernel (see :func:`_chees_scan`; the leap count feeds the kernel as a
+    traced SMEM scalar)."""
+    from .pallas_glm import glm_hmc_leapfrogs, is_mat_prior, link_terms
+
+    ll_fn, resid_fn = link_terms(kind)
+    prior = lam if lam_vec is None else lam_vec
+    mat = lam_vec is not None and is_mat_prior(lam_vec)
+
+    def prior_term(theta):
+        if mat:
+            return jnp.dot(theta, prior, preferred_element_type=jnp.float32)
+        return prior * theta
+
+    def logp_grad(theta):
+        logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
+        if O is not None:
+            logits = logits + O
+        r = resid_fn(logits, Y)
+        ll = ll_fn(logits, Y)
+        if W is not None:
+            r, ll = W * r, W * ll
+        pt = prior_term(theta)
+        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - pt
+        lp = jnp.sum(ll, axis=1) - 0.5 * jnp.sum(pt * theta, axis=1)
+        return lp, g
+
+    lp0, g0 = logp_grad(theta0)
+
+    def trajectory(theta, m0, g, nl):
+        return glm_hmc_leapfrogs(
+            XT, Y, theta, m0, g, eps, n_leaps=nl,
+            block_chains=block_chains, interpret=interpret, kind=kind,
+            weights=W, offsets=O, prior_prec=prior, integrator=integrator)
+
+    return _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, d=d,
+                       steps=steps, i0=i0, max_leaps=max_leaps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "steps", "max_leaps", "tile_n",
                      "block_chains", "interpret", "kind", "lam",
                      "integrator"))
 def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
@@ -555,11 +580,9 @@ def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
     bound, so ONE compile serves every step (closes VERDICT r3 missing #4:
     the chains and data scale axes now compose with the dynamic-length
     flagship sampler)."""
-    from ..samplers.chees import halton2
     from ..samplers.integrators import SCHEDULES
     from .pallas_glm_bign import glm_logp_grad_tiled
 
-    C, d_pad = theta0.shape
     kw = dict(tile_n=tile_n, block_chains=block_chains, interpret=interpret,
               kind=kind, weights=W, offsets=O,
               prior_prec=lam_vec if lam_vec is not None else lam,
@@ -569,10 +592,6 @@ def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
 
     def logp_grad(theta):
         return glm_logp_grad_tiled(XT, Y, theta, **kw)
-
-    def refresh(k):
-        m = jax.random.normal(k, (C, d), dtype=jnp.float32)
-        return jnp.pad(m, ((0, 0), (0, d_pad - d)))
 
     schedule = SCHEDULES[integrator]
 
@@ -588,41 +607,21 @@ def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
 
     lp0, g0 = logp_grad(theta0)
 
-    def step(carry, inp):
-        theta, lp, g = carry
-        k, i_abs = inp
-        u = halton2(i_abs).astype(jnp.float32)
-        nl = jnp.clip(jnp.ceil(u * T / eps), 1, max_leaps).astype(jnp.int32)
-        k_mom, k_acc = jax.random.split(k)
-        m0 = refresh(k_mom)
-        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
+    def trajectory(theta, m0, g, nl):
+        # the carried lp is dead until the first drift recomputes it
+        # (every schedule starts with a kick): zeros placeholder
+        lp_dead = jnp.zeros((theta.shape[0],), jnp.float32)
         p_th, p_lp, p_g, p_m = jax.lax.fori_loop(
-            0, nl, lambda _, c: macro(c), (theta, lp, g, m0))
-        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
-        ratio = H0 - H
-        alpha = jnp.where(jnp.isnan(ratio), 0.0,
-                          jnp.exp(jnp.minimum(ratio, 0.0)))
-        logu = jnp.log(jax.random.uniform(k_acc, (C,), dtype=jnp.float32))
-        accept = jnp.where(jnp.isnan(ratio), False,
-                           (ratio > 0) | (ratio > logu))
-        a = accept[:, None]
-        theta = jnp.where(a, p_th, theta)
-        g = jnp.where(a, p_g, g)
-        lp = jnp.where(accept, p_lp, lp)
-        info = {"ppars": theta[:, :d], "pgrads": g[:, :d],
-                "plogtarget": lp, "accept": accept, "alpha": alpha,
-                "epsilon": jnp.broadcast_to(eps, (C,)),
-                "nleaps": jnp.broadcast_to(nl, (C,))}
-        return (theta, lp, g), info
+            0, nl, lambda _, c: macro(c), (theta, lp_dead, g, m0))
+        return p_th, p_m, p_g, p_lp
 
-    keys = jax.random.split(key, steps)
-    iabs = i0 + jnp.arange(steps, dtype=jnp.int32)
-    return jax.lax.scan(step, (theta0, lp0, g0), (keys, iabs))
+    return _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, d=d,
+                       steps=steps, i0=i0, max_leaps=max_leaps)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("logp_block", "d", "steps", "i0", "max_leaps",
+    static_argnames=("logp_block", "d", "steps", "max_leaps",
                      "block_chains", "interpret", "integrator"))
 def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
                       i0, max_leaps, block_chains, interpret,
@@ -633,50 +632,20 @@ def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
     ``eps_in`` is the kernel step (scalar, or a (d_pad,) per-coordinate row
     carrying the frozen diag metric) while ``eps`` is the scalar the length
     rule uses (the metric rescales velocity, not integration time)."""
-    from ..samplers.chees import halton2
     from .pallas_target import fused_target_leapfrogs
 
-    C, d_pad = theta0.shape
     grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
     lp0 = logp_block(theta0)[:, 0]
     g0 = grad_only(theta0)
 
-    def refresh(k):
-        m = jax.random.normal(k, (C, d), dtype=jnp.float32)
-        return jnp.pad(m, ((0, 0), (0, d_pad - d)))
-
-    def step(carry, inp):
-        theta, lp, g = carry
-        k, i_abs = inp
-        u = halton2(i_abs).astype(jnp.float32)
-        nl = jnp.clip(jnp.ceil(u * T / eps), 1, max_leaps).astype(jnp.int32)
-        k_mom, k_acc = jax.random.split(k)
-        m0 = refresh(k_mom)
-        H0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1)
-        p_th, p_m, p_g, p_lp = fused_target_leapfrogs(
+    def trajectory(theta, m0, g, nl):
+        return fused_target_leapfrogs(
             logp_block, theta, m0, g, eps_in, n_leaps=nl,
             block_chains=block_chains, interpret=interpret,
             integrator=integrator)
-        H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
-        ratio = H0 - H
-        alpha = jnp.where(jnp.isnan(ratio), 0.0,
-                          jnp.exp(jnp.minimum(ratio, 0.0)))
-        logu = jnp.log(jax.random.uniform(k_acc, (C,), dtype=jnp.float32))
-        accept = jnp.where(jnp.isnan(ratio), False,
-                           (ratio > 0) | (ratio > logu))
-        a = accept[:, None]
-        theta = jnp.where(a, p_th, theta)
-        g = jnp.where(a, p_g, g)
-        lp = jnp.where(accept, p_lp, lp)
-        info = {"ppars": theta[:, :d], "pgrads": g[:, :d],
-                "plogtarget": lp, "accept": accept, "alpha": alpha,
-                "epsilon": jnp.broadcast_to(eps, (C,)),
-                "nleaps": jnp.broadcast_to(nl, (C,))}
-        return (theta, lp, g), info
 
-    keys = jax.random.split(key, steps)
-    iabs = i0 + jnp.arange(steps, dtype=jnp.int32)
-    return jax.lax.scan(step, (theta0, lp0, g0), (keys, iabs))
+    return _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, d=d,
+                       steps=steps, i0=i0, max_leaps=max_leaps)
 
 
 def _dyn_target_phase(model, integrator, eps, T, max_leaps, s, states_w,
@@ -688,11 +657,7 @@ def _dyn_target_phase(model, integrator, eps, T, max_leaps, s, states_w,
 
     d = model.size
     d_pad = _round_up(d, LANE)
-    if s is not None:
-        eps_in = jnp.asarray(
-            np.concatenate([eps * s, np.full(d_pad - d, eps)]), jnp.float32)
-    else:
-        eps_in = jnp.float32(eps)
+    eps_in = _eps_row(eps, s, d, d_pad)
     logp_block = model_block_fn(model)
     theta0p = pad_chains(
         jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
@@ -846,9 +811,10 @@ def fused_continue_chains(model, sampler, states, steps, key,
         eps = float(np.median(np.asarray(states.dual_leap_step)))
         T = float(np.exp(np.median(np.asarray(states.log_len))))
         nl = None
+        s = _pool_mass(getattr(sampler, "_kind", None), states)
     else:
-        eps, nl, _ = _freeze(sampler, states)
-    s = _pool_mass(getattr(sampler, "_kind", None), states)
+        # _freeze already pools the mass metric (its third return)
+        eps, nl, s = _freeze(sampler, states)
 
     if spec is not None:
         from . import pallas_glm_bign as bn
@@ -909,12 +875,7 @@ def fused_continue_chains(model, sampler, states, steps, key,
         from .pallas_target import _run as _trun, model_block_fn
 
         d_pad = _round_up(d, LANE)
-        if s is not None:
-            eps_in = jnp.asarray(
-                np.concatenate([eps * s, np.full(d_pad - d, eps)]),
-                jnp.float32)
-        else:
-            eps_in = jnp.float32(eps)
+        eps_in = _eps_row(eps, s, d, d_pad)
         logp_block = model_block_fn(model)
         theta0p = pad_chains(
             jnp.asarray(np.asarray(states.pars, np.float32)), d_pad)
@@ -984,7 +945,10 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
     j = np.asarray(infos_w["ndoublings"], np.float64)
     half = j.shape[0] // 2
     leaps = np.maximum(2.0 ** j[half:] - 1.0, 1.0)
-    T = float(np.median(leaps)) * eps
+    # the ChEES length rule draws nl uniform on (0, T/eps]: T must be
+    # TWICE the target length for the jittered MEAN to sit at the
+    # empirical median the U-turn criterion chose
+    T = 2.0 * float(np.median(leaps)) * eps
     s = _pool_mass(sampler._kind, states_w)
     d = model.size
     steps2 = runner.len - runner.burnin

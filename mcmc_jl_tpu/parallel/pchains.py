@@ -330,10 +330,13 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
     return results
 
 
-def _package_group(t, runner, idxs, infos, final_states, key, results, t0):
+def _package_group(t, runner, idxs, infos, final_states, key, results, t0,
+                   pos_list=None):
     """Slice kept rows on device, transfer once, build one MCMCChain per
     task index (shared by :func:`prun_serialmc` and
-    :func:`presume_serialmc`)."""
+    :func:`presume_serialmc`).  ``pos_list`` (aligned with ``idxs``)
+    carries per-task step histories — grouped chains may have been resumed
+    different numbers of times."""
     # slice to kept rows and drop pre-step duplicates ON DEVICE before
     # materializing — the host (or tunnel) transfer is the prun
     # bottleneck, not the sampling itself
@@ -359,9 +362,10 @@ def _package_group(t, runner, idxs, infos, final_states, key, results, t0):
                 diags[k] = np.asarray(v)[:, ci]
         diags["logtarget"] = np.asarray(infos["plogtarget"])[:, ci]
         state_i = jax.tree_util.tree_map(lambda a: a[ci], final_states)
+        pos0 = t.pos if pos_list is None else pos_list[ci]
         new_task = MCMCTask(t.model, t.sampler, runner, state=state_i,
                             key=jax.random.fold_in(key, 1000 + idx),
-                            pos=t.pos + runner.len)
+                            pos=pos0 + runner.len)
         results[idx] = MCMCChain(
             range=runner.r,
             samples=samples,
@@ -409,7 +413,13 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
         states = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
             *[tasks[i].state for i in idxs])
-        k_run = jax.random.fold_in(key, gi)
+        # derive the continuation stream from the STORED task key: every
+        # resume segment re-stamps fresh task keys below, so repeated
+        # resume() calls advance the PRNG instead of replaying the same
+        # refresh/accept sequence (the old per-task path advanced
+        # task.key through run_serialmc; the batched path must too)
+        base = t.key if t.key is not None else jax.random.fold_in(key, gi)
+        k_run = jax.random.fold_in(base, 7)
 
         use_cont = False
         if fused is not False:
@@ -436,12 +446,16 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
                         from ..ops.pallas_glm import LANE, _round_up
                         from ..ops.pallas_target import (
                             model_block_fn, target_kernel_supported)
+                        from ..samplers.chees import ChEESHMC as _Ch
 
+                        # probe the EXACT variant the continuation runs:
+                        # ChEES continuations use the dyn-len kernel
                         use_cont = target_kernel_supported(
                             model_block_fn(t.model),
                             _round_up(t.model.size, LANE), _pick_block(n),
                             integrator=t.sampler.integrator,
-                            vec_eps=kindm is not None)
+                            vec_eps=kindm is not None,
+                            dyn_len=isinstance(t.sampler, _Ch))
         if use_cont:
             from ..ops.warmstart import fused_continue_chains
 
@@ -451,6 +465,7 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
             infos, final_states, _ = run_chains(
                 t.model, t.sampler, new_runner, n, key=k_run,
                 states=states, mesh=mesh)
-        _package_group(t, new_runner, idxs, infos, final_states, key,
-                       results, t0)
+        _package_group(t, new_runner, idxs, infos, final_states, k_run,
+                       results, t0,
+                       pos_list=[tasks[i].pos for i in idxs])
     return results

@@ -533,6 +533,28 @@ def test_fused_resume_list_continues_at_fused_route():
     assert np.all(np.isfinite(cont2[0].samples.values))
 
 
+def test_repeated_resume_advances_prng_and_pos():
+    """Successive resume() segments must consume DIFFERENT PRNG streams
+    (the continuation key derives from the stored task keys, which each
+    segment re-stamps) and accumulate pos per chain."""
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=50))
+    chains = mc.run(m * s * mc.SerialMC(steps=400, burnin=200), chains=4,
+                    seed=0, fused=True)
+    c2 = mc.resume(chains, steps=50, fused=True)
+    c3 = mc.resume(c2, steps=50, fused=True)
+    # identical streams would replay the same refresh/accept sequence and
+    # produce correlated (here: near-identical relative) trajectories
+    assert not np.allclose(c2[0].samples.values, c3[0].samples.values)
+    assert c2[0].task.pos == 400 + 50
+    assert c3[0].task.pos == 400 + 100
+    # grouped chains with different histories keep their own pos
+    mixed = [c3[0], c2[1]]
+    c4 = mc.resume(mixed, steps=25, fused=True)
+    assert c4[0].task.pos == 525 and c4[1].task.pos == 475
+
+
 def test_resume_list_heterogeneous_groups():
     """presume_serialmc splits a mixed chain list into homogeneous groups
     and resumes each (fused where eligible, generic otherwise), preserving
