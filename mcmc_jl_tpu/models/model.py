@@ -440,7 +440,11 @@ def _unravel_static(theta, pmap):
     out = {}
     for name, (off, shape) in pmap.items():
         n = max(1, int(np.prod(shape)))
-        sl = jax.lax.dynamic_slice_in_dim(theta, off - 1, n)
+        # offsets are Python ints: a STATIC slice, not lax.dynamic_slice —
+        # dynamic_slice under the in-kernel vmap defeats Mosaic's
+        # gather/slice lowering and would knock DSL models off the lifted
+        # fused-target path (ops/pallas_target.lifted_model_block)
+        sl = jax.lax.slice_in_dim(theta, off - 1, off - 1 + n)
         if len(shape) == 0:
             out[name] = sl[0]
         elif len(shape) == 1:

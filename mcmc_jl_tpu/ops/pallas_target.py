@@ -62,7 +62,7 @@ def coordwise_logp(logpdf, d, d_pad=None, safe=0.5):
 
 
 def _kernel(*refs, logp_block, n_leaps, integrator, vec_eps=False,
-            dyn_len=False):
+            dyn_len=False, n_consts=0):
     """One fused HMC trajectory for a block of chains on a custom target.
 
     ``vec_eps=True`` reads a per-coordinate (1, d_pad) step-size row instead
@@ -74,20 +74,29 @@ def _kernel(*refs, logp_block, n_leaps, integrator, vec_eps=False,
     ``dyn_len=True`` reads the leap count from an SMEM scalar: a runtime
     trip count, so ONE compiled kernel serves every Halton-jittered
     trajectory length of a ChEES / NUTS-handoff sampling phase on a
-    data-free target (the custom-target analog of pallas_glm's dyn_len)."""
+    data-free target (the custom-target analog of pallas_glm's dyn_len).
+
+    ``n_consts > 0``: the target is DATA-BEARING — ``logp_block(theta,
+    *consts)`` takes that many hoisted closure constants, delivered as
+    replicated (1, size) VMEM rows (see :func:`lifted_model_block`); they
+    are read once per launch and stay VMEM-resident across the whole
+    trajectory, exactly like the GLM kernel's design matrix."""
     it = iter(refs)
     eps_ref = next(it)
     nl_ref = next(it) if dyn_len else None
     theta_ref, m_ref, grad_ref = (next(it) for _ in range(3))
+    const_refs = [next(it) for _ in range(n_consts)]
     theta_out, m_out, grad_out, lp_out = list(it)
 
     eps = eps_ref[:] if vec_eps else eps_ref[0, 0]
     nl = nl_ref[0, 0] if dyn_len else n_leaps
-    grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
+    consts = [r[:] for r in const_refs]
+    lb = (lambda th: logp_block(th, *consts)) if n_consts else logp_block
+    grad_only = jax.grad(lambda th: jnp.sum(lb(th)))
 
     def logp_grad(th):
         # one forward + one backward pass for per-chain values AND gradient
-        lp, vjp = jax.vjp(logp_block, th)
+        lp, vjp = jax.vjp(lb, th)
         (g,) = vjp(jnp.ones_like(lp))
         return lp, g
 
@@ -105,7 +114,7 @@ def _kernel(*refs, logp_block, n_leaps, integrator, vec_eps=False,
 
 def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
                            block_chains=256, interpret=False,
-                           integrator="leapfrog"):
+                           integrator="leapfrog", consts=()):
     """Run ``n_leaps`` fused integrator steps of all chains on a custom
     target.
 
@@ -116,6 +125,9 @@ def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
       theta, m, grad: (C, d_pad) lane-padded chain state (padded cols zero).
       eps: scalar step size, or a (d_pad,)/(1, d_pad) per-coordinate row
         (the diagonal-mass fold — see ``_kernel``).
+      consts: hoisted data constants as (1, size) f32 rows for a
+        DATA-BEARING ``logp_block(theta, *consts)`` (see
+        :func:`lifted_model_block`); replicated into VMEM per block.
     Returns (theta, m, grad, logp) with logp shape (C,).
     """
     from jax.experimental import pallas as pl
@@ -148,12 +160,19 @@ def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
         in_specs.append(smem_spec)
     inputs += [theta, m, grad]
     in_specs += [chain_spec, chain_spec, chain_spec]
+    for c in consts:
+        c = jnp.asarray(c)  # native dtype: f32 on TPU, f64 under x64 tests
+        assert c.ndim == 2 and c.shape[0] == 1, \
+            "consts must be (1, size) rows (lifted_model_block layout)"
+        inputs.append(c)
+        in_specs.append(pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
         functools.partial(_kernel, logp_block=logp_block,
                           n_leaps=0 if dyn else n_leaps,
                           integrator=integrator, vec_eps=vec_eps,
-                          dyn_len=dyn),
+                          dyn_len=dyn, n_consts=len(consts)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
@@ -331,7 +350,7 @@ _TARGET_PROBE_CACHE = {}
 
 def target_kernel_supported(logp_block, d_pad, blk=128,
                             integrator="leapfrog", vec_eps=False,
-                            dyn_len=False):
+                            dyn_len=False, consts=()):
     """Compile-probe the fused custom-target kernel on the current backend.
 
     A user ``logp_block`` may contain ops Mosaic cannot lower; routing must
@@ -341,9 +360,12 @@ def target_kernel_supported(logp_block, d_pad, blk=128,
     ``vec_eps=True`` probes the per-coordinate step-size variant the
     warm-start diagonal-mass fold uses; ``dyn_len=True`` the runtime
     trip-count variant of the ChEES / NUTS-handoff phases
-    (ops/warmstart.py).
+    (ops/warmstart.py); ``consts`` the hoisted data rows of a
+    data-bearing target (:func:`lifted_model_block`).
     """
-    sig = (logp_block, d_pad, blk, integrator, vec_eps, dyn_len,
+    cshapes = tuple((tuple(c.shape), str(jnp.asarray(c).dtype))
+                    for c in consts)
+    sig = (logp_block, d_pad, blk, integrator, vec_eps, dyn_len, cshapes,
            jax.default_backend())
     hit = _TARGET_PROBE_CACHE.get(sig)
     if hit is not None:
@@ -352,12 +374,16 @@ def target_kernel_supported(logp_block, d_pad, blk=128,
     cd = f32((blk, d_pad), jnp.float32)
     eps_aval = f32((1, d_pad), jnp.float32) if vec_eps else f32((), jnp.float32)
     extra = [jax.ShapeDtypeStruct((), jnp.int32)] if dyn_len else []
+    extra += [jax.ShapeDtypeStruct(c.shape, jnp.asarray(c).dtype)
+              for c in consts]
 
-    def probe(th, m, g, eps, *nl):
+    def probe(th, m, g, eps, *rest):
+        it = iter(rest)
+        nl = next(it) if dyn_len else 2
+        cs = tuple(it)
         return fused_target_leapfrogs(
-            logp_block, th, m, g, eps,
-            n_leaps=nl[0] if dyn_len else 2, block_chains=blk,
-            integrator=integrator)
+            logp_block, th, m, g, eps, n_leaps=nl, block_chains=blk,
+            integrator=integrator, consts=cs)
 
     try:
         jax.jit(probe).lower(cd, cd, cd, eps_aval, *extra).compile()
@@ -379,20 +405,23 @@ def target_kernel_supported(logp_block, d_pad, blk=128,
                                              "interpret", "integrator",
                                              "collect"))
 def _run(logp_block, theta0, eps, key, *, d, steps, n_leaps, block_chains,
-         interpret, integrator="leapfrog", collect=False):
+         interpret, integrator="leapfrog", collect=False, consts=()):
     """Scan ``steps`` fused-HMC transitions on a custom target.
 
     Trajectory in the kernel, momentum refresh + Metropolis accept in XLA
     (the composed structure measured fastest for the GLM kernel).  Same
-    accept rule incl. NaN-reject as the generic engine (samplers/hmc.py)."""
+    accept rule incl. NaN-reject as the generic engine (samplers/hmc.py).
+    ``consts``: hoisted data rows for a data-bearing ``logp_block``
+    (see :func:`lifted_model_block`)."""
     C, d_pad = theta0.shape
 
     def refresh(k):
         m = jax.random.normal(k, (C, d), dtype=theta0.dtype)
         return jnp.pad(m, ((0, 0), (0, d_pad - d)))
 
-    grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
-    lp0 = logp_block(theta0)[:, 0]
+    lb = (lambda th: logp_block(th, *consts)) if consts else logp_block
+    grad_only = jax.grad(lambda th: jnp.sum(lb(th)))
+    lp0 = lb(theta0)[:, 0]
     g0 = grad_only(theta0)
 
     def step(carry, k):
@@ -403,7 +432,7 @@ def _run(logp_block, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         p_theta, p_m, p_g, p_lp = fused_target_leapfrogs(
             logp_block, theta, m0, g, eps, n_leaps=n_leaps,
             block_chains=block_chains, interpret=interpret,
-            integrator=integrator,
+            integrator=integrator, consts=consts,
         )
         H = -p_lp + 0.5 * jnp.sum(p_m * p_m, axis=1)
         ratio = H0 - H
@@ -433,6 +462,68 @@ def _model_block_cached(ev, d):
         return jnp.reshape(lp, (theta.shape[0], 1)).astype(theta.dtype)
 
     return logp_block
+
+
+@functools.lru_cache(maxsize=128)
+def _lifted_block_cached(ev, d):
+    th0 = jnp.zeros((d,), jnp.float32)
+    # hoist every array the eval closes over into explicit arguments:
+    # Pallas rejects captured array constants, but as kernel INPUTS the
+    # same data rides replicated VMEM rows like the GLM kernel's design
+    # matrix — any data-bearing model whose math Mosaic can lower gets
+    # the fused path (e.g. the reference's Ornstein AR(1) likelihood,
+    # examples/ornstein.jl).  jax.closure_convert only hoists TRACER
+    # constants (its custom-derivative use case); concrete data arrays
+    # live in the jaxpr's consts, so we pull them out ourselves and
+    # re-evaluate the jaxpr with the consts as runtime arguments.
+    # disable_jit inlines the model's jitted eval (a PjitFunction): without
+    # it the data stays buried in a nested pjit eqn and consts come out
+    # empty (and Mosaic would meet an opaque pjit call inside the kernel).
+    with jax.disable_jit():
+        closed = jax.make_jaxpr(lambda th: ev(th))(th0)
+    consts = [jnp.asarray(c) for c in closed.consts]
+    shapes = tuple(tuple(np.shape(c)) for c in consts)
+    rows = tuple(jnp.reshape(c, (1, -1)) for c in consts)
+
+    def converted(th, *cs):
+        out = jax.core.eval_jaxpr(closed.jaxpr, cs, th)
+        return out[0]
+
+    def logp_block(theta, *cs):
+        vals = [jnp.reshape(c, s) for c, s in zip(cs, shapes)]
+        lp = jax.vmap(lambda row: converted(row[:d].astype(jnp.float32),
+                                            *vals))(theta)
+        return jnp.reshape(lp, (theta.shape[0], 1)).astype(theta.dtype)
+
+    return logp_block, rows
+
+
+#: hoisted-data budget for the lifted path: the rows are replicated into
+#: VMEM per chain block alongside the 6 (blk, d_pad) state blocks
+MAX_CONST_BYTES = 8 * 1024 * 1024
+MAX_CONSTS = 16
+
+
+def lifted_model_block(model):
+    """Kernel-ready ``(logp_block, consts)`` from ANY model ``eval`` whose
+    math Mosaic can lower — closed-over data arrays are closure-converted
+    into explicit ``(1, size)`` VMEM rows (``consts``).  Data-free models
+    return ``consts == ()`` and behave exactly like
+    :func:`model_block_fn`.  Returns ``None`` when the hoisted data
+    exceeds the VMEM budget (``MAX_CONST_BYTES``/``MAX_CONSTS``) — such
+    models belong on the GLM kernels (structured large data) or the
+    generic engine.  Cached on ``(model.eval, model.size)``.
+    """
+    try:
+        logp_block, rows = _lifted_block_cached(model.eval, model.size)
+    except Exception:  # closure_convert can fail on exotic evals
+        return None
+    if len(rows) > MAX_CONSTS:
+        return None
+    if sum(int(np.prod(r.shape)) * r.dtype.itemsize for r in rows) \
+            > MAX_CONST_BYTES:
+        return None
+    return logp_block, rows
 
 
 def run_target_hmc_sharded(logp_block, d, n_chains, steps, mesh=None,
@@ -509,8 +600,9 @@ def model_block_fn(model):
 
 def fused_target_chains(model, sampler, runner, n_chains, key,
                         interpret=None):
-    """Run ``n_chains`` plain-HMC chains on an arbitrary (data-free) model
-    through the fused custom-target kernel; protocol-compatible with
+    """Run ``n_chains`` plain-HMC chains on an arbitrary model (data-free,
+    or data-bearing via the lifted-constant path) through the fused
+    custom-target kernel; protocol-compatible with
     :func:`mcmc_jl_tpu.ops.glm_hmc.fused_hmc_chains` (f32 compute,
     post-accept info keys, exact-resume final states)."""
     from .glm_hmc import final_hmc_states
@@ -518,13 +610,16 @@ def fused_target_chains(model, sampler, runner, n_chains, key,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     d = model.size
-    logp_block = model_block_fn(model)
+    lifted = lifted_model_block(model)
+    assert lifted is not None, \
+        "model data exceeds the lifted-kernel budget (routing bug)"
+    logp_block, consts = lifted
     inits = jnp.broadcast_to(jnp.asarray(model.init, jnp.float32),
                              (n_chains, d))
     theta, infos = run_target_hmc(
         logp_block, d, n_chains, runner.len, n_leaps=sampler.n_leaps,
         eps=sampler.leap_step, key=key, inits=inits, interpret=interpret,
-        integrator=sampler.integrator, collect=True)
+        integrator=sampler.integrator, collect=True, consts=consts)
     # recompute final lp/grad shape inputs for the resume states
     d_pad = _round_up(d, LANE)
     thetaF = pad_chains(jnp.asarray(theta, jnp.float32), d_pad)
@@ -537,12 +632,14 @@ def fused_target_chains(model, sampler, runner, n_chains, key,
 
 def run_target_hmc(logp_block, d, n_chains, steps, n_leaps=10, eps=0.1,
                    seed=0, key=None, inits=None, block_chains=256,
-                   interpret=False, integrator="leapfrog", collect=False):
+                   interpret=False, integrator="leapfrog", collect=False,
+                   consts=()):
     """Sample a custom target with the fused Pallas HMC path.
 
     ``logp_block`` per the module contract (use :func:`coordwise_logp` for
-    iid-coordinate targets).  Returns (theta (C, d), infos) like
-    :func:`mcmc_jl_tpu.ops.glm_hmc.run_glm_hmc`.
+    iid-coordinate targets, :func:`lifted_model_block` for data-bearing
+    models — pass its ``consts`` through here).  Returns (theta (C, d),
+    infos) like :func:`mcmc_jl_tpu.ops.glm_hmc.run_glm_hmc`.
     """
     d_pad = _round_up(d, LANE)
     if key is None:
@@ -560,7 +657,7 @@ def run_target_hmc(logp_block, d, n_chains, steps, n_leaps=10, eps=0.1,
     (theta, _, _), infos = _run(
         logp_block, theta0, jnp.float32(eps), k_run, d=d, steps=steps,
         n_leaps=n_leaps, block_chains=block, interpret=interpret,
-        integrator=integrator, collect=collect,
+        integrator=integrator, collect=collect, consts=consts,
     )
     if collect:
         infos = {k: (v[..., :d] if v.ndim == 3 else v)

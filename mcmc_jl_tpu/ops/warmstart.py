@@ -352,7 +352,7 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     the GLM pipeline (module docstring).
     """
     from .pallas_glm import LANE, _round_up, pad_chains
-    from .pallas_target import _run, model_block_fn
+    from .pallas_target import _run, lifted_model_block
 
     assert _warm_ok(model, sampler, runner), \
         "warmfused_target_chains requires an adaptive HMC/HMCDA task"
@@ -366,7 +366,10 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     d = model.size
     d_pad = _round_up(d, LANE)
     eps_in = _eps_row(eps, s, d, d_pad)
-    logp_block = model_block_fn(model)
+    lifted = lifted_model_block(model)
+    assert lifted is not None, \
+        "model data exceeds the lifted-kernel budget (routing bug)"
+    logp_block, consts = lifted
     theta0p = pad_chains(
         jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
     steps2 = runner.len - runner.burnin
@@ -374,7 +377,8 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     def run_phase(th0, k, block):
         return _run(logp_block, th0, eps_in, k, d=d, steps=steps2,
                     n_leaps=nl, block_chains=block, interpret=interpret,
-                    integrator=sampler.integrator, collect=True)
+                    integrator=sampler.integrator, collect=True,
+                    consts=consts)
 
     (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
                                             n_chains, mesh)
@@ -625,7 +629,7 @@ def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
                      "block_chains", "interpret", "integrator"))
 def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
                       i0, max_leaps, block_chains, interpret,
-                      integrator="leapfrog"):
+                      integrator="leapfrog", consts=()):
     """Dynamic-length fused sampling phase on a DATA-FREE target: per step
     the shared Halton-jittered leap count (``ceil(halton2(i0+t) T / eps)``,
     the ChEES rule) feeds the custom-target kernel's runtime trip count;
@@ -634,15 +638,16 @@ def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
     rule uses (the metric rescales velocity, not integration time)."""
     from .pallas_target import fused_target_leapfrogs
 
-    grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
-    lp0 = logp_block(theta0)[:, 0]
+    lb = (lambda th: logp_block(th, *consts)) if consts else logp_block
+    grad_only = jax.grad(lambda th: jnp.sum(lb(th)))
+    lp0 = lb(theta0)[:, 0]
     g0 = grad_only(theta0)
 
     def trajectory(theta, m0, g, nl):
         return fused_target_leapfrogs(
             logp_block, theta, m0, g, eps_in, n_leaps=nl,
             block_chains=block_chains, interpret=interpret,
-            integrator=integrator)
+            integrator=integrator, consts=consts)
 
     return _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, d=d,
                        steps=steps, i0=i0, max_leaps=max_leaps)
@@ -653,12 +658,15 @@ def _dyn_target_phase(model, integrator, eps, T, max_leaps, s, states_w,
     """Run the dynamic-length custom-target sampling phase (shared by the
     ChEES and NUTS-handoff pipelines on non-GLM models)."""
     from .pallas_glm import LANE, _round_up, pad_chains
-    from .pallas_target import model_block_fn
+    from .pallas_target import lifted_model_block
 
     d = model.size
     d_pad = _round_up(d, LANE)
     eps_in = _eps_row(eps, s, d, d_pad)
-    logp_block = model_block_fn(model)
+    lifted = lifted_model_block(model)
+    assert lifted is not None, \
+        "model data exceeds the lifted-kernel budget (routing bug)"
+    logp_block, consts = lifted
     theta0p = pad_chains(
         jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
 
@@ -667,7 +675,7 @@ def _dyn_target_phase(model, integrator, eps, T, max_leaps, s, states_w,
                                  jnp.float32(T), k, d=d, steps=steps2,
                                  i0=i0, max_leaps=max_leaps,
                                  block_chains=block, interpret=interpret,
-                                 integrator=integrator)
+                                 integrator=integrator, consts=consts)
 
     return _mesh_phase(run_phase, theta0p, k_samp, n_chains, mesh)
 
@@ -872,11 +880,14 @@ def fused_continue_chains(model, sampler, states, steps, key,
             extra_keys=("alpha", "epsilon", "nleaps"))
         run_phase = None
     else:
-        from .pallas_target import _run as _trun, model_block_fn
+        from .pallas_target import _run as _trun, lifted_model_block
 
         d_pad = _round_up(d, LANE)
         eps_in = _eps_row(eps, s, d, d_pad)
-        logp_block = model_block_fn(model)
+        lifted = lifted_model_block(model)
+        assert lifted is not None, \
+            "model data exceeds the lifted-kernel budget (routing bug)"
+        logp_block, tconsts = lifted
         theta0p = pad_chains(
             jnp.asarray(np.asarray(states.pars, np.float32)), d_pad)
         s = None  # theta-space: no unfold
@@ -885,7 +896,8 @@ def fused_continue_chains(model, sampler, states, steps, key,
             return _trun(logp_block, th0, eps_in, k, d=d, steps=steps,
                          n_leaps=nl, block_chains=block,
                          interpret=interpret,
-                         integrator=sampler.integrator, collect=True)
+                         integrator=sampler.integrator, collect=True,
+                         consts=tconsts)
 
         extras = ()
 

@@ -235,12 +235,14 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                   and not jax.config.jax_enable_x64):
                 from ..ops.glm_hmc import _pick_block
                 from ..ops.pallas_glm import LANE, _round_up
-                from ..ops.pallas_target import (model_block_fn,
+                from ..ops.pallas_target import (lifted_model_block,
                                                  target_kernel_supported)
 
-                use_target = target_kernel_supported(
-                    model_block_fn(t.model), _round_up(t.model.size, LANE),
-                    _pick_block(n), integrator=t.sampler.integrator)
+                lifted = lifted_model_block(t.model)
+                use_target = lifted is not None and target_kernel_supported(
+                    lifted[0], _round_up(t.model.size, LANE),
+                    _pick_block(n), integrator=t.sampler.integrator,
+                    consts=lifted[1])
         # adaptive HMC/HMCDA on a GLM: warmup on the generic engine, frozen
         # hyper-params to the fused kernel for the sampling phase
         # (ops/warmstart.py) — the reference's burnin-gated adaptation
@@ -275,18 +277,23 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                         from ..ops.glm_hmc import _pick_block
                         from ..ops.pallas_glm import LANE, _round_up
                         from ..ops.pallas_target import (
-                            model_block_fn, target_kernel_supported)
+                            lifted_model_block, target_kernel_supported)
                         from ..samplers.chees import ChEESHMC
                         from ..samplers.nuts import NUTS
 
                         vec = getattr(t.sampler, "_kind", None) is not None
                         dyn = isinstance(t.sampler, (ChEESHMC, NUTS))
-                        use_warm = target_kernel_supported(
-                            model_block_fn(t.model),
-                            _round_up(t.model.size, LANE), _pick_block(n),
-                            integrator=getattr(t.sampler, "integrator",
-                                               "leapfrog"),
-                            vec_eps=vec, dyn_len=dyn)
+                        lifted = lifted_model_block(t.model)
+                        use_warm = (lifted is not None
+                                    and target_kernel_supported(
+                                        lifted[0],
+                                        _round_up(t.model.size, LANE),
+                                        _pick_block(n),
+                                        integrator=getattr(
+                                            t.sampler, "integrator",
+                                            "leapfrog"),
+                                        vec_eps=vec, dyn_len=dyn,
+                                        consts=lifted[1]))
         if (use_fused or use_target or use_warm) and fused == "auto":
             import logging
 
@@ -445,17 +452,21 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
                         from ..ops.glm_hmc import _pick_block
                         from ..ops.pallas_glm import LANE, _round_up
                         from ..ops.pallas_target import (
-                            model_block_fn, target_kernel_supported)
+                            lifted_model_block, target_kernel_supported)
                         from ..samplers.chees import ChEESHMC as _Ch
 
                         # probe the EXACT variant the continuation runs:
                         # ChEES continuations use the dyn-len kernel
-                        use_cont = target_kernel_supported(
-                            model_block_fn(t.model),
-                            _round_up(t.model.size, LANE), _pick_block(n),
-                            integrator=t.sampler.integrator,
-                            vec_eps=kindm is not None,
-                            dyn_len=isinstance(t.sampler, _Ch))
+                        lifted = lifted_model_block(t.model)
+                        use_cont = (lifted is not None
+                                    and target_kernel_supported(
+                                        lifted[0],
+                                        _round_up(t.model.size, LANE),
+                                        _pick_block(n),
+                                        integrator=t.sampler.integrator,
+                                        vec_eps=kindm is not None,
+                                        dyn_len=isinstance(t.sampler, _Ch),
+                                        consts=lifted[1]))
         if use_cont:
             from ..ops.warmstart import fused_continue_chains
 

@@ -97,6 +97,23 @@ assert bign_kernel_supported(LANE, 16384, 256, unit_prior=False,
                              use_w=True, mat_prior=True), \
     "mat-prior tiled gradient kernel failed Mosaic"
 
+# round-4: lifted DATA-BEARING target (closure consts as VMEM rows) —
+# the reference's Ornstein AR(1) likelihood as the witness workload
+import mcmc_jl_tpu as _mc
+import numpy as _np
+_x = jnp.asarray(_np.linspace(0.0, 1.0, 200))
+def _ou(v):
+    fac = jnp.exp(-1.0 / v[0])
+    resid = _x[1:] - _x[:-1] * fac - v[2] * (1.0 - fac)
+    return jnp.sum(-0.5 * (resid / v[1]) ** 2) - jnp.log(v[1]) * 199.0
+_m = _mc.model(_ou, gradient=True, init=jnp.asarray([20.0, 0.1, 10.0]),
+               check_init=False)
+from mcmc_jl_tpu.ops.pallas_target import lifted_model_block
+_lb, _consts = lifted_model_block(_m)
+assert len(_consts) >= 1, "no data hoisted"
+assert target_kernel_supported(_lb, LANE, 128, consts=_consts), \
+    "lifted data-bearing target kernel failed Mosaic"
+
 # multi-transition custom-target kernel (in-kernel hardware PRNG)
 from mcmc_jl_tpu.ops.pallas_target import _multistep_inner
 jax.jit(lambda th, seeds, eps: _multistep_inner(
