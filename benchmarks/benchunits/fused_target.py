@@ -15,13 +15,17 @@ import numpy as np
 def _rate(go, C, steps, n_leaps, repeats=3):
     import jax
 
-    out = go(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
+    def fetch(out):
+        # device->host fetch INSIDE the timer: block_until_ready does not
+        # reliably block through the axon tunnel (bench.py lesson; this
+        # unit recorded a 230x-inflated RWM row before this fix)
+        return [float(np.asarray(o)) for o in jax.tree_util.tree_leaves(out)]
+
+    fetch(go(jax.random.PRNGKey(0)))
     ts = []
     for rep in range(repeats):
         t0 = time.perf_counter()
-        out = go(jax.random.PRNGKey(rep + 1))
-        jax.block_until_ready(out)
+        fetch(go(jax.random.PRNGKey(rep + 1)))
         ts.append(time.perf_counter() - t0)
     return C * steps * n_leaps / float(np.median(ts))
 
@@ -101,4 +105,44 @@ def run():
     rr = _rate(gr, Cr, steps_r, 1)
     out.append((f"fused RWM {cases[0][0]} d={d} (thin={thin}): "
                 "transitions/s", rr / 1e6, "M/s"))
+
+    # --- round-4: DATA-BEARING lifted target (the reference's Ornstein
+    # AR(1) likelihood, examples/ornstein.jl) — closed-over series hoisted
+    # into VMEM rows (ops/pallas_target.lifted_model_block) vs the generic
+    # engine at the identical config
+    import dataclasses
+
+    import examples.ornstein as oe
+    from mcmc_jl_tpu.ops.pallas_target import lifted_model_block
+    from mcmc_jl_tpu.parallel.pchains import run_chains
+
+    x = oe.make_series(duration=1000)
+    m = dataclasses.replace(oe.make_model(x),
+                            init=jnp.asarray([15.0, 0.15, 9.0]))
+    logp_block, consts = lifted_model_block(m)
+    Co, steps_o, nlo = (2048, 500, 5) if on_tpu else (32, 40, 5)
+    inits = jnp.broadcast_to(jnp.asarray(m.init, jnp.float32), (Co, 3))
+
+    def go_lift(key):
+        th, infos = run_target_hmc(
+            logp_block, 3, Co, steps_o, n_leaps=nlo, eps=0.003, key=key,
+            inits=inits, interpret=not on_tpu, consts=consts)
+        return jnp.mean(th), jnp.mean(infos["plogtarget"][-1])
+
+    r_lift = _rate(go_lift, Co, steps_o, nlo)
+    out.append(("ornstein 3-param x 1000 obs (lifted data): fused "
+                "leapfrog/s", r_lift / 1e6, "M/s"))
+
+    Cg = min(Co, 256)
+
+    def go_gen(key):
+        infos, _, _ = run_chains(m, mc.HMC(nlo, 0.003),
+                                 mc.SerialMC(steps=steps_o), Cg, key=key)
+        return jnp.mean(infos["plogtarget"][-1])
+
+    r_gen = _rate(go_gen, Cg, steps_o, nlo)
+    out.append(("ornstein 3-param x 1000 obs: generic leapfrog/s",
+                r_gen / 1e6, "M/s"))
+    out.append(("ornstein lifted fused vs generic (rate ratio)",
+                r_lift / max(r_gen, 1e-9), "x"))
     return out
