@@ -23,7 +23,10 @@ def _timeit(f, inner=20, repeats=5):
         t0 = time.perf_counter()
         for _ in range(inner):
             r = f()
-        jax.block_until_ready(r)
+        # fetch, not block_until_ready: the latter does not reliably block
+        # through the axon tunnel (round-4 benchlog-integrity lesson)
+        for leaf in jax.tree_util.tree_leaves(r):
+            np.asarray(leaf)
         best = min(best, (time.perf_counter() - t0) / inner)
     return best
 

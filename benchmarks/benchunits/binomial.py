@@ -23,9 +23,12 @@ def _timeit(f, inner=10, repeats=5):
 
 
 def _block(x):
+    # fetch, don't block_until_ready: the latter does not reliably block
+    # through the axon tunnel (round-4 benchlog-integrity lesson)
     import jax
 
-    jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        np.asarray(leaf)
 
 
 def run():

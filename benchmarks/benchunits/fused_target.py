@@ -80,7 +80,7 @@ def run():
         ts = []
         for rep in range(2):
             t0 = time.perf_counter()
-            jax.block_until_ready(gg(rep + 1))
+            float(np.asarray(gg(rep + 1)).mean())  # fetch stops the clock
             ts.append(time.perf_counter() - t0)
         rg = Cg * steps * n_leaps / float(np.median(ts))
         out.append((f"generic HMC {name} d={d}: leapfrog/s", rg / 1e6,

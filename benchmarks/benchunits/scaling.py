@@ -51,13 +51,14 @@ def run():
         mesh = Mesh(np.array(devices[:ndev]), ("chains",))
         n_chains = chains_per_dev * ndev
         r = run_chains(model, sampler, runner, n_chains, seed=0, mesh=mesh)
-        jax.block_until_ready(r[0]["plogtarget"])
+        np.asarray(r[0]["plogtarget"])
         ts = []
         for rep in range(5):
             t0 = time.perf_counter()
             r = run_chains(model, sampler, runner, n_chains, seed=rep + 1,
                            mesh=mesh)
-            jax.block_until_ready(r[0]["plogtarget"])
+            # fetch stops the clock (block_until_ready unreliable on axon)
+            np.asarray(r[0]["plogtarget"])
             ts.append(time.perf_counter() - t0)
         return n_chains * steps / float(np.median(ts))
 
