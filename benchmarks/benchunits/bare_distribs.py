@@ -23,10 +23,11 @@ def _timeit(f, inner=20, repeats=5):
         t0 = time.perf_counter()
         for _ in range(inner):
             r = f()
-        # fetch, not block_until_ready: the latter does not reliably block
-        # through the axon tunnel (round-4 benchlog-integrity lesson)
+        # REDUCED fetch, not block_until_ready: the latter does not
+        # reliably block through the axon tunnel (round-4 lesson)
+        import jax.numpy as jnp
         for leaf in jax.tree_util.tree_leaves(r):
-            np.asarray(leaf)
+            float(jnp.sum(leaf))
         best = min(best, (time.perf_counter() - t0) / inner)
     return best
 

@@ -23,12 +23,14 @@ def _timeit(f, inner=10, repeats=5):
 
 
 def _block(x):
-    # fetch, don't block_until_ready: the latter does not reliably block
-    # through the axon tunnel (round-4 benchlog-integrity lesson)
+    # REDUCED fetch, don't block_until_ready: the latter does not reliably
+    # block through the axon tunnel, and fetching unreduced arrays would
+    # time the transfer (round-4 benchlog-integrity lesson)
     import jax
+    import jax.numpy as jnp
 
     for leaf in jax.tree_util.tree_leaves(x):
-        np.asarray(leaf)
+        float(jnp.sum(leaf))
 
 
 def run():

@@ -74,13 +74,13 @@ def run():
             infos, _, _ = run_chains(
                 m, mc.HMC(n_leaps, eps), mc.SerialMC(steps=steps), Cg,
                 seed=seed)
-            return infos["plogtarget"]
+            return float(jnp.mean(infos["plogtarget"]))  # reduced fetch
 
-        gg(0)
+        gg(0)  # the fetch inside gg makes the warm-up synchronous too
         ts = []
         for rep in range(2):
             t0 = time.perf_counter()
-            float(np.asarray(gg(rep + 1)).mean())  # fetch stops the clock
+            gg(rep + 1)
             ts.append(time.perf_counter() - t0)
         rg = Cg * steps * n_leaps / float(np.median(ts))
         out.append((f"generic HMC {name} d={d}: leapfrog/s", rg / 1e6,

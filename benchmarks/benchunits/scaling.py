@@ -51,14 +51,16 @@ def run():
         mesh = Mesh(np.array(devices[:ndev]), ("chains",))
         n_chains = chains_per_dev * ndev
         r = run_chains(model, sampler, runner, n_chains, seed=0, mesh=mesh)
-        np.asarray(r[0]["plogtarget"])
+        float(jnp.mean(r[0]["plogtarget"]))
         ts = []
         for rep in range(5):
             t0 = time.perf_counter()
             r = run_chains(model, sampler, runner, n_chains, seed=rep + 1,
                            mesh=mesh)
-            # fetch stops the clock (block_until_ready unreliable on axon)
-            np.asarray(r[0]["plogtarget"])
+            # REDUCED fetch stops the clock (block_until_ready unreliable
+            # on axon; an unreduced fetch would add an O(steps*chains)
+            # transfer term that grows with the device count)
+            float(jnp.mean(r[0]["plogtarget"]))
             ts.append(time.perf_counter() - t0)
         return n_chains * steps / float(np.median(ts))
 

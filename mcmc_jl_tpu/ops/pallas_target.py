@@ -419,7 +419,7 @@ def _run(logp_block, theta0, eps, key, *, d, steps, n_leaps, block_chains,
         m = jax.random.normal(k, (C, d), dtype=theta0.dtype)
         return jnp.pad(m, ((0, 0), (0, d_pad - d)))
 
-    lb = (lambda th: logp_block(th, *consts)) if consts else logp_block
+    lb = _bind_consts(logp_block, consts)
     grad_only = jax.grad(lambda th: jnp.sum(lb(th)))
     lp0 = lb(theta0)[:, 0]
     g0 = grad_only(theta0)
@@ -464,6 +464,21 @@ def _model_block_cached(ev, d):
     return logp_block
 
 
+#: hoisted-data budget for the lifted path: the rows are replicated into
+#: VMEM per chain block alongside the 6 (blk, d_pad) state blocks
+MAX_CONST_BYTES = 8 * 1024 * 1024
+MAX_CONSTS = 16
+
+
+def _bind_consts(logp_block, consts):
+    """Close a data-bearing ``logp_block(theta, *consts)`` over its hoisted
+    rows (identity for data-free blocks) — the one place the binding rule
+    lives for the XLA-side value/grad computations."""
+    if not consts:
+        return logp_block
+    return lambda th: logp_block(th, *consts)
+
+
 @functools.lru_cache(maxsize=128)
 def _lifted_block_cached(ev, d):
     th0 = jnp.zeros((d,), jnp.float32)
@@ -481,6 +496,14 @@ def _lifted_block_cached(ev, d):
     # empty (and Mosaic would meet an opaque pjit call inside the kernel).
     with jax.disable_jit():
         closed = jax.make_jaxpr(lambda th: ev(th))(th0)
+    # budget check on METADATA, before any device copy: an over-budget
+    # model must not pay a (possibly huge) transfer nor pin rejected rows
+    # in this cache — the rejection itself is cached (returns None)
+    if len(closed.consts) > MAX_CONSTS:
+        return None
+    if sum(int(np.prod(np.shape(c)) or 1) * np.dtype(c.dtype).itemsize
+           for c in closed.consts) > MAX_CONST_BYTES:
+        return None
     consts = [jnp.asarray(c) for c in closed.consts]
     shapes = tuple(tuple(np.shape(c)) for c in consts)
     rows = tuple(jnp.reshape(c, (1, -1)) for c in consts)
@@ -498,32 +521,21 @@ def _lifted_block_cached(ev, d):
     return logp_block, rows
 
 
-#: hoisted-data budget for the lifted path: the rows are replicated into
-#: VMEM per chain block alongside the 6 (blk, d_pad) state blocks
-MAX_CONST_BYTES = 8 * 1024 * 1024
-MAX_CONSTS = 16
-
-
 def lifted_model_block(model):
     """Kernel-ready ``(logp_block, consts)`` from ANY model ``eval`` whose
-    math Mosaic can lower — closed-over data arrays are closure-converted
-    into explicit ``(1, size)`` VMEM rows (``consts``).  Data-free models
-    return ``consts == ()`` and behave exactly like
+    math Mosaic can lower — closed-over data arrays are hoisted from the
+    eval's jaxpr into explicit ``(1, size)`` VMEM rows (``consts``).
+    Data-free models return ``consts == ()`` and behave exactly like
     :func:`model_block_fn`.  Returns ``None`` when the hoisted data
     exceeds the VMEM budget (``MAX_CONST_BYTES``/``MAX_CONSTS``) — such
     models belong on the GLM kernels (structured large data) or the
-    generic engine.  Cached on ``(model.eval, model.size)``.
+    generic engine.  Cached (rejections included) on
+    ``(model.eval, model.size)``.
     """
     try:
-        logp_block, rows = _lifted_block_cached(model.eval, model.size)
-    except Exception:  # closure_convert can fail on exotic evals
+        return _lifted_block_cached(model.eval, model.size)
+    except Exception:  # exotic evals may not trace under disable_jit
         return None
-    if len(rows) > MAX_CONSTS:
-        return None
-    if sum(int(np.prod(r.shape)) * r.dtype.itemsize for r in rows) \
-            > MAX_CONST_BYTES:
-        return None
-    return logp_block, rows
 
 
 def run_target_hmc_sharded(logp_block, d, n_chains, steps, mesh=None,

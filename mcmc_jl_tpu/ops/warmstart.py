@@ -636,9 +636,9 @@ def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
     ``eps_in`` is the kernel step (scalar, or a (d_pad,) per-coordinate row
     carrying the frozen diag metric) while ``eps`` is the scalar the length
     rule uses (the metric rescales velocity, not integration time)."""
-    from .pallas_target import fused_target_leapfrogs
+    from .pallas_target import _bind_consts, fused_target_leapfrogs
 
-    lb = (lambda th: logp_block(th, *consts)) if consts else logp_block
+    lb = _bind_consts(logp_block, consts)
     grad_only = jax.grad(lambda th: jnp.sum(lb(th)))
     lp0 = lb(theta0)[:, 0]
     g0 = grad_only(theta0)

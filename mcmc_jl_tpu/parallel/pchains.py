@@ -230,7 +230,12 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
         use_target = False
         if not use_fused and fused is not False and _target_eligible(t):
             if fused is True:
-                use_target = True  # forced (interpret mode on CPU, tests)
+                # forced (interpret mode on CPU, tests) — still respect the
+                # lifted-data budget so over-budget models degrade instead
+                # of hard-failing downstream
+                from ..ops.pallas_target import lifted_model_block
+
+                use_target = lifted_model_block(t.model) is not None
             elif (fused == "auto" and jax.default_backend() == "tpu"
                   and not jax.config.jax_enable_x64):
                 from ..ops.glm_hmc import _pick_block
@@ -253,7 +258,12 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
 
             if warm_eligible(t):
                 if fused is True:
-                    use_warm = True
+                    if getattr(t.model, "glm_spec", None) is not None:
+                        use_warm = True
+                    else:  # forced: still respect the lifted-data budget
+                        from ..ops.pallas_target import lifted_model_block
+
+                        use_warm = lifted_model_block(t.model) is not None
                 elif (fused == "auto" and jax.default_backend() == "tpu"
                       and not jax.config.jax_enable_x64):
                     if getattr(t.model, "glm_spec", None) is not None:
@@ -434,7 +444,12 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
 
             if continue_eligible(t):
                 if fused is True:
-                    use_cont = True
+                    if t.model.glm_spec is not None:
+                        use_cont = True
+                    else:  # forced: still respect the lifted-data budget
+                        from ..ops.pallas_target import lifted_model_block
+
+                        use_cont = lifted_model_block(t.model) is not None
                 elif (fused == "auto" and jax.default_backend() == "tpu"
                       and not jax.config.jax_enable_x64):
                     kindm = getattr(t.sampler, "_kind", None)

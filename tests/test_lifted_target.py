@@ -123,3 +123,8 @@ def test_lifted_budget_rejects_oversize_data():
 
     m = mc.model(logp, gradient=True, init=jnp.zeros(8), check_init=False)
     assert lifted_model_block(m) is None
+    # FORCED fused routing must also degrade to the generic engine rather
+    # than hard-fail on the over-budget model (review regression)
+    chains = mc.run(m * mc.HMC(3, 0.05) * mc.SerialMC(steps=20), chains=2,
+                    seed=0, fused=True)
+    assert np.all(np.isfinite(chains[0].samples.values))
