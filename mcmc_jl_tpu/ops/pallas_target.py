@@ -15,9 +15,12 @@ benchmarks/benchunits/bare_distribs.jl.)
 Contract for ``logp_block``:
   * pure jnp ops only (it is traced inside the kernel; Mosaic must lower it);
   * no captured array constants — Pallas rejects them; bake parameters as
-    Python scalars, or synthesize index-dependent masks/values with
-    ``jax.lax.broadcasted_iota`` (see :func:`coordwise_logp`).  Targets that
-    need real data arrays belong on the GLM kernel (:mod:`.pallas_glm`);
+    Python scalars, synthesize index-dependent masks/values with
+    ``jax.lax.broadcasted_iota`` (see :func:`coordwise_logp`), or — for
+    real data arrays — take them as explicit ``logp_block(theta, *consts)``
+    arguments delivered as VMEM rows (:func:`lifted_model_block` builds
+    this automatically from any model closure; structured large data still
+    belongs on the GLM kernels);
   * padded lanes (columns >= d) hold zeros and MUST contribute zero to both
     the value and the gradient — :func:`coordwise_logp` builds a compliant
     block function from a per-coordinate logpdf, masking padded lanes with an
@@ -192,9 +195,8 @@ def fused_target_leapfrogs(logp_block, theta, m, grad, eps, *, n_leaps=10,
     return theta, m, grad, lp[:, 0]
 
 
-def _multistep_kernel(seed_ref, eps_ref, theta_ref,
-                      theta_out, grad_out, lp_out, acc_out, *,
-                      logp_block, d, n_leaps, k_trans, integrator):
+def _multistep_kernel(*refs, logp_block, d, n_leaps, k_trans, integrator,
+                      n_consts=0):
     """``k_trans`` FULL HMC transitions on a custom target in ONE kernel
     launch: Box-Muller momentum refresh on the hardware PRNG, fused
     trajectory, Metropolis accept — all VMEM-resident; only (theta, grad,
@@ -206,12 +208,19 @@ def _multistep_kernel(seed_ref, eps_ref, theta_ref,
 
     from .pallas_rwm import _normal_hw, _uniform
 
+    it = iter(refs)
+    seed_ref, eps_ref, theta_ref = (next(it) for _ in range(3))
+    const_refs = [next(it) for _ in range(n_consts)]
+    theta_out, grad_out, lp_out, acc_out = list(it)
+
     pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
     eps = eps_ref[0, 0]
-    grad_only = jax.grad(lambda th: jnp.sum(logp_block(th)))
+    consts = [r[:] for r in const_refs]
+    lb = (lambda th: logp_block(th, *consts)) if n_consts else logp_block
+    grad_only = jax.grad(lambda th: jnp.sum(lb(th)))
 
     def logp_grad(th):
-        lp, vjp = jax.vjp(logp_block, th)
+        lp, vjp = jax.vjp(lb, th)
         (g,) = vjp(jnp.ones_like(lp))
         return lp, g
 
@@ -251,7 +260,8 @@ def _multistep_kernel(seed_ref, eps_ref, theta_ref,
                                              "k_trans", "block_chains",
                                              "integrator"))
 def _multistep_inner(theta, seeds, eps, *, logp_block, d, n_leaps=10,
-                     k_trans=10, block_chains=256, integrator="leapfrog"):
+                     k_trans=10, block_chains=256, integrator="leapfrog",
+                     consts=()):
     """Launch the multi-transition custom-target kernel once.  TPU-only
     (hardware PRNG has no CPU lowering).  Returns (theta, grad, lp (C,),
     accept_rate (C,))."""
@@ -270,20 +280,27 @@ def _multistep_inner(theta, seeds, eps, *, logp_block, d, n_leaps=10,
                               memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((blk, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    inputs = [seeds2, eps2, theta]
+    in_specs = [
+        pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        chain_spec,
+    ]
+    for c in consts:
+        c = jnp.asarray(c)
+        inputs.append(c)
+        in_specs.append(pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
 
     theta, grad, lp, acc = pl.pallas_call(
         functools.partial(_multistep_kernel, logp_block=logp_block, d=d,
                           n_leaps=n_leaps, k_trans=k_trans,
-                          integrator=integrator),
+                          integrator=integrator, n_consts=len(consts)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            chain_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[chain_spec, chain_spec, col_spec, col_spec],
         out_shape=[
             jax.ShapeDtypeStruct((C, d_pad), theta.dtype),
@@ -291,14 +308,15 @@ def _multistep_inner(theta, seeds, eps, *, logp_block, d, n_leaps=10,
             jax.ShapeDtypeStruct((C, LANE), theta.dtype),
             jax.ShapeDtypeStruct((C, LANE), theta.dtype),
         ],
-    )(seeds2, eps2, theta)
+    )(*inputs)
     return theta, grad, lp[:, 0], acc[:, 0]
 
 
 def run_target_hmc_multistep(logp_block, d, n_chains, steps, thin=10,
                              n_leaps=10, eps=0.1, seed=0, key=None,
                              inits=None, block_chains=256,
-                             integrator="leapfrog", collect=False):
+                             integrator="leapfrog", collect=False,
+                             consts=()):
     """Sample a custom target with the multi-transition in-kernel-PRNG path.
 
     ``steps`` transitions run as ``steps // thin`` launches of ``thin``
@@ -332,7 +350,7 @@ def run_target_hmc_multistep(logp_block, d, n_chains, steps, thin=10,
             theta, g, lp, acc = _multistep_inner(
                 theta, seeds, jnp.float32(eps), logp_block=logp_block, d=d,
                 n_leaps=n_leaps, k_trans=thin, block_chains=block,
-                integrator=integrator)
+                integrator=integrator, consts=consts)
             info = {"plogtarget": lp, "accept_rate": acc}
             if collect:
                 info.update({"ppars": theta[:, :d], "pgrads": g[:, :d]})
@@ -541,7 +559,8 @@ def lifted_model_block(model):
 def run_target_hmc_sharded(logp_block, d, n_chains, steps, mesh=None,
                            axis="chains", n_leaps=10, eps=0.1, seed=0,
                            key=None, inits=None, block_chains=256,
-                           interpret=False, integrator="leapfrog"):
+                           interpret=False, integrator="leapfrog",
+                           consts=()):
     """Mesh-sharded fused custom-target HMC: chains split over ``mesh[axis]``.
 
     The multi-chip version of :func:`run_target_hmc`, mirroring
@@ -579,10 +598,11 @@ def run_target_hmc_sharded(logp_block, d, n_chains, steps, mesh=None,
         jnp.arange(n_dev))
 
     def local_run(th0, keys):
+        # consts close over: shard_map lifts them as replicated operands
         (theta, lp, g), infos = _run(
             logp_block, th0, jnp.float32(eps), keys[0], d=d, steps=steps,
             n_leaps=n_leaps, block_chains=block, interpret=interpret,
-            integrator=integrator)
+            integrator=integrator, consts=consts)
         return theta, infos
 
     fn = shard_map(local_run, mesh=mesh,

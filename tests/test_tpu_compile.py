@@ -114,13 +114,19 @@ assert len(_consts) >= 1, "no data hoisted"
 assert target_kernel_supported(_lb, LANE, 128, consts=_consts), \
     "lifted data-bearing target kernel failed Mosaic"
 
-# multi-transition custom-target kernel (in-kernel hardware PRNG)
+# multi-transition custom-target kernel (in-kernel hardware PRNG),
+# data-free AND with a lifted data row (round 4)
 from mcmc_jl_tpu.ops.pallas_target import _multistep_inner
 jax.jit(lambda th, seeds, eps: _multistep_inner(
     th, seeds, eps, logp_block=blockfn, d=4, n_leaps=3, k_trans=5,
     block_chains=128)).lower(
     f32((128, LANE), jnp.float32), jax.ShapeDtypeStruct((1,), jnp.int32),
     f32((), jnp.float32)).compile()
+jax.jit(lambda th, seeds, eps, c: _multistep_inner(
+    th, seeds, eps, logp_block=_lb, d=3, n_leaps=3, k_trans=5,
+    block_chains=128, consts=(c,))).lower(
+    f32((128, LANE), jnp.float32), jax.ShapeDtypeStruct((1,), jnp.int32),
+    f32((), jnp.float32), f32((1, 200), jnp.float32)).compile()
 print("OK")
 """
 
