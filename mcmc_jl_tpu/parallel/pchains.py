@@ -393,6 +393,58 @@ def _package_group(t, runner, idxs, infos, final_states, key, results, t0,
         )
 
 
+def continuation_route(model, sampler, n, fused="auto"):
+    """Shared routing decision for frozen-state continuations
+    (:func:`presume_serialmc`, :func:`mcmc_jl_tpu.runners.run_until`):
+    True when the batch should continue through the fused kernels
+    (``fused`` semantics as in :func:`prun_serialmc`; always
+    compile-probed on the auto path, budget-checked on the forced one)."""
+    import types
+
+    from ..ops.warmstart import continue_eligible
+
+    if fused is False:
+        return False
+    if not continue_eligible(types.SimpleNamespace(model=model,
+                                                   sampler=sampler)):
+        return False
+    if fused is True:
+        if model.glm_spec is not None:
+            return True
+        # forced: still respect the lifted-data budget
+        from ..ops.pallas_target import lifted_model_block
+
+        return lifted_model_block(model) is not None
+    if not (fused == "auto" and jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64):
+        return False
+    kindm = getattr(sampler, "_kind", None)
+    mat = kindm == "dense"
+    if model.glm_spec is not None:
+        from ..ops.glm_hmc import model_kernel_supported
+        from ..samplers.chees import ChEESHMC
+
+        return model_kernel_supported(
+            model, sampler, n, vec_prior=kindm is not None and not mat,
+            mat_prior=mat, dyn_len=isinstance(sampler, ChEESHMC))
+    from ..ops.glm_hmc import _pick_block
+    from ..ops.pallas_glm import LANE, _round_up
+    from ..ops.pallas_target import (lifted_model_block,
+                                     target_kernel_supported)
+    from ..samplers.chees import ChEESHMC
+
+    # probe the EXACT variant the continuation runs: ChEES continuations
+    # use the dyn-len kernel
+    lifted = lifted_model_block(model)
+    return (lifted is not None
+            and target_kernel_supported(
+                lifted[0], _round_up(model.size, LANE), _pick_block(n),
+                integrator=sampler.integrator,
+                vec_eps=kindm is not None,
+                dyn_len=isinstance(sampler, ChEESHMC),
+                consts=lifted[1]))
+
+
 def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
                      fused="auto"):
     """Batched resume of a list of SerialMC chains: the reference's
@@ -438,50 +490,7 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
         base = t.key if t.key is not None else jax.random.fold_in(key, gi)
         k_run = jax.random.fold_in(base, 7)
 
-        use_cont = False
-        if fused is not False:
-            from ..ops.warmstart import continue_eligible
-
-            if continue_eligible(t):
-                if fused is True:
-                    if t.model.glm_spec is not None:
-                        use_cont = True
-                    else:  # forced: still respect the lifted-data budget
-                        from ..ops.pallas_target import lifted_model_block
-
-                        use_cont = lifted_model_block(t.model) is not None
-                elif (fused == "auto" and jax.default_backend() == "tpu"
-                      and not jax.config.jax_enable_x64):
-                    kindm = getattr(t.sampler, "_kind", None)
-                    mat = kindm == "dense"
-                    if t.model.glm_spec is not None:
-                        from ..ops.glm_hmc import model_kernel_supported
-                        from ..samplers.chees import ChEESHMC
-
-                        use_cont = model_kernel_supported(
-                            t.model, t.sampler, n,
-                            vec_prior=kindm is not None and not mat,
-                            mat_prior=mat,
-                            dyn_len=isinstance(t.sampler, ChEESHMC))
-                    else:
-                        from ..ops.glm_hmc import _pick_block
-                        from ..ops.pallas_glm import LANE, _round_up
-                        from ..ops.pallas_target import (
-                            lifted_model_block, target_kernel_supported)
-                        from ..samplers.chees import ChEESHMC as _Ch
-
-                        # probe the EXACT variant the continuation runs:
-                        # ChEES continuations use the dyn-len kernel
-                        lifted = lifted_model_block(t.model)
-                        use_cont = (lifted is not None
-                                    and target_kernel_supported(
-                                        lifted[0],
-                                        _round_up(t.model.size, LANE),
-                                        _pick_block(n),
-                                        integrator=t.sampler.integrator,
-                                        vec_eps=kindm is not None,
-                                        dyn_len=isinstance(t.sampler, _Ch),
-                                        consts=lifted[1]))
+        use_cont = continuation_route(t.model, t.sampler, n, fused)
         if use_cont:
             from ..ops.warmstart import fused_continue_chains
 

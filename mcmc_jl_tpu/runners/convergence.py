@@ -54,7 +54,7 @@ class ConvergenceResult:
 def run_until(model, sampler, n_chains=8, *, rhat_target=1.01, min_ess=400,
               check_every=500, max_steps=100_000, warmup=None,
               method="rank", seed=0, key=None, inits=None, jitter=0.1,
-              mesh=None, verbose=False):
+              mesh=None, verbose=False, fused="auto"):
     """Run ``n_chains`` chains until R-hat and pooled-ESS gates pass.
 
     Blocks of ``check_every`` steps are advanced on device (states carried
@@ -66,8 +66,17 @@ def run_until(model, sampler, n_chains=8, *, rhat_target=1.01, min_ess=400,
 
     ``method``: "rank" (Vehtari-2021 bulk/tail, default) or "split"
     (classic Gelman-Rubin) — see :func:`mcmc_jl_tpu.stats.rhat`.
+
+    ``fused``: once ``steps_run >= warmup`` the adaptation state is frozen
+    (tuners are burnin-gated), so every further block is fixed-kernel MCMC
+    — exactly what the fused continuation serves: eligible HMC-family
+    blocks route through
+    :func:`mcmc_jl_tpu.ops.warmstart.fused_continue_chains` (the prun
+    routing semantics: "auto" probes on TPU, ``True`` forces,
+    ``False`` keeps the generic engine throughout).
     """
-    from ..parallel.pchains import init_chains, run_chains
+    from ..parallel.pchains import (continuation_route, init_chains,
+                                    run_chains)
 
     assert n_chains >= 2, "cross-chain gates need >= 2 chains"
     warmup = check_every if warmup is None else warmup
@@ -87,13 +96,23 @@ def run_until(model, sampler, n_chains=8, *, rhat_target=1.01, min_ess=400,
     history: List[Tuple[int, float, float]] = []
     steps_run = 0
     converged = False
+    use_cont = None  # decided once the adaptation window is consumed
     r = e = None
     while steps_run < max_steps:
-        infos, states, key = run_chains(
-            model, sampler, _Blk, n_chains, key=key, states=states,
-            mesh=mesh)
+        if use_cont:
+            from ..ops.warmstart import fused_continue_chains
+
+            key, k_blk = jax.random.split(key)
+            infos, states = fused_continue_chains(
+                model, sampler, states, check_every, k_blk, mesh=mesh)
+        else:
+            infos, states, key = run_chains(
+                model, sampler, _Blk, n_chains, key=key, states=states,
+                mesh=mesh)
         blocks.append(np.asarray(infos["ppars"]))
         steps_run += check_every
+        if use_cont is None and steps_run >= warmup:
+            use_cont = continuation_route(model, sampler, n_chains, fused)
         x = np.concatenate(blocks, axis=0)
         keep = x[max(warmup, steps_run // 2):]
         if keep.shape[0] < 4:
