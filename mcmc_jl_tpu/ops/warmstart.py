@@ -373,12 +373,18 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     theta0p = pad_chains(
         jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
     steps2 = runner.len - runner.burnin
+    # shared per-step Halton jitter around the frozen nl (see the GLM
+    # pipeline's phase-3 note: a pooled FIXED length resonates)
+    T = 2.0 * nl * eps
 
     def run_phase(th0, k, block):
-        return _run(logp_block, th0, eps_in, k, d=d, steps=steps2,
-                    n_leaps=nl, block_chains=block, interpret=interpret,
-                    integrator=sampler.integrator, collect=True,
-                    consts=consts)
+        return _chees_target_run(logp_block, th0, eps_in, jnp.float32(eps),
+                                 jnp.float32(T), k, d=d, steps=steps2,
+                                 i0=runner.burnin + 1,
+                                 max_leaps=max(2 * nl, 2),
+                                 block_chains=block, interpret=interpret,
+                                 integrator=sampler.integrator,
+                                 consts=consts)
 
     (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
                                             n_chains, mesh)
@@ -430,20 +436,30 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
         spec, d, states_w, s, tiled=big_n, tile_n=tile_n)
 
     # ---- phase 3: fused sampling -----------------------------------------
+    # Per-step SHARED Halton-jittered trajectory lengths around the frozen
+    # nl (uniform on [1, 2*nl], mean ~nl).  A single pooled FIXED length
+    # resonates on near-Gaussian posteriors — every chain shares the same
+    # periodicity (measured: half the pooled ESS / +0.35 R-hat vs the
+    # per-chain-length generic engine on the bench posterior) — while
+    # shared per-step jitter breaks it at identical kernel cost: the
+    # dynamic-trip-count drivers (the ChEES machinery at fixed T) serve it.
     steps2 = runner.len - runner.burnin
     theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
-    common = dict(d=d, steps=steps2, n_leaps=nl, interpret=interpret,
-                  kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
-                  integrator=sampler.integrator, collect=True)
+    T = 2.0 * nl * eps
+    kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
+              max_leaps=max(2 * nl, 2), interpret=interpret,
+              kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
+              integrator=sampler.integrator)
 
     def run_phase(th0, k, block):
         if big_n:
             # large-N: the N-tiled gradient kernel (pallas_glm_bign)
             # carries the frozen metric through the same lam_vec fold
-            return bn._run_bign(XT, Y2, th0, jnp.float32(eps), k,
-                                tile_n=tile_n, block_chains=block, **common)
-        return _run(XT, Y2, th0, jnp.float32(eps), k, block_chains=block,
-                    fused_step=False, **common)
+            return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
+                                   jnp.float32(T), k, tile_n=tile_n,
+                                   block_chains=block, **kw)
+        return _chees_run(XT, Y2, th0, jnp.float32(eps), jnp.float32(T), k,
+                          block_chains=block, **kw)
 
     (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
                                             n_chains, mesh)
@@ -585,14 +601,16 @@ def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
     the chains and data scale axes now compose with the dynamic-length
     flagship sampler)."""
     from ..samplers.integrators import SCHEDULES
+    from .pallas_glm import is_mat_prior
     from .pallas_glm_bign import glm_logp_grad_tiled
 
+    mat = lam_vec is not None and is_mat_prior(lam_vec)
     kw = dict(tile_n=tile_n, block_chains=block_chains, interpret=interpret,
               kind=kind, weights=W, offsets=O,
               prior_prec=lam_vec if lam_vec is not None else lam,
               _use_w=W is not None, _use_o=O is not None,
               _unit_prior=lam_vec is None and float(lam) == 1.0,
-              _vec_prior=lam_vec is not None)
+              _vec_prior=lam_vec is not None and not mat, _mat_prior=mat)
 
     def logp_grad(theta):
         return glm_logp_grad_tiled(XT, Y, theta, **kw)
@@ -854,18 +872,26 @@ def fused_continue_chains(model, sampler, states, steps, key,
 
             extras = ("alpha", "epsilon", "nleaps")
         else:
-            common = dict(d=d, steps=steps, n_leaps=nl,
-                          interpret=interpret, kind=spec.kind, W=W, O=O,
-                          lam=lam, lam_vec=lam_fold,
-                          integrator=sampler.integrator, collect=True)
+            # shared per-step Halton jitter around the frozen nl (see the
+            # warm pipeline's phase-3 note); the index continues from
+            # states.i so successive segments keep the low-discrepancy
+            # sequence going
+            T = 2.0 * nl * eps
+            i0 = int(np.max(np.asarray(states.i)))
+            kw = dict(d=d, steps=steps, i0=i0, max_leaps=max(2 * nl, 2),
+                      interpret=interpret, kind=spec.kind, W=W, O=O,
+                      lam=lam, lam_vec=lam_fold,
+                      integrator=sampler.integrator)
 
             def run_phase(th0, k, block):
                 if big_n:
-                    return bn._run_bign(XT, Y2, th0, jnp.float32(eps), k,
-                                        tile_n=tile_n, block_chains=block,
-                                        **common)
-                return _run(XT, Y2, th0, jnp.float32(eps), k,
-                            block_chains=block, fused_step=False, **common)
+                    return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
+                                           jnp.float32(T), k,
+                                           tile_n=tile_n,
+                                           block_chains=block, **kw)
+                return _chees_run(XT, Y2, th0, jnp.float32(eps),
+                                  jnp.float32(T), k, block_chains=block,
+                                  **kw)
 
             extras = ()
     elif chees:
@@ -880,7 +906,7 @@ def fused_continue_chains(model, sampler, states, steps, key,
             extra_keys=("alpha", "epsilon", "nleaps"))
         run_phase = None
     else:
-        from .pallas_target import _run as _trun, lifted_model_block
+        from .pallas_target import lifted_model_block
 
         d_pad = _round_up(d, LANE)
         eps_in = _eps_row(eps, s, d, d_pad)
@@ -891,13 +917,18 @@ def fused_continue_chains(model, sampler, states, steps, key,
         theta0p = pad_chains(
             jnp.asarray(np.asarray(states.pars, np.float32)), d_pad)
         s = None  # theta-space: no unfold
+        T = 2.0 * nl * eps  # shared per-step length jitter (phase-3 note)
+        i0 = int(np.max(np.asarray(states.i)))
 
         def run_phase(th0, k, block):
-            return _trun(logp_block, th0, eps_in, k, d=d, steps=steps,
-                         n_leaps=nl, block_chains=block,
-                         interpret=interpret,
-                         integrator=sampler.integrator, collect=True,
-                         consts=tconsts)
+            return _chees_target_run(logp_block, th0, eps_in,
+                                     jnp.float32(eps), jnp.float32(T), k,
+                                     d=d, steps=steps, i0=i0,
+                                     max_leaps=max(2 * nl, 2),
+                                     block_chains=block,
+                                     interpret=interpret,
+                                     integrator=sampler.integrator,
+                                     consts=tconsts)
 
         extras = ()
 

@@ -268,16 +268,15 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                       and not jax.config.jax_enable_x64):
                     if getattr(t.model, "glm_spec", None) is not None:
                         from ..ops.glm_hmc import model_kernel_supported
-                        from ..samplers.chees import ChEESHMC
-                        from ..samplers.nuts import NUTS
 
                         kindm = getattr(t.sampler, "_kind", None)
                         mat = kindm == "dense"
-                        dyn = isinstance(t.sampler, (ChEESHMC, NUTS))
+                        # every warm sampling phase runs the dyn-len
+                        # kernel now (shared per-step length jitter)
                         use_warm = model_kernel_supported(
                             t.model, t.sampler, n,
                             vec_prior=kindm is not None and not mat,
-                            mat_prior=mat, dyn_len=dyn)
+                            mat_prior=mat, dyn_len=True)
                     else:
                         # adaptive HMC/HMCDA/ChEES/NUTS-handoff on a
                         # data-free custom target: the sampling phase runs
@@ -288,11 +287,8 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                         from ..ops.pallas_glm import LANE, _round_up
                         from ..ops.pallas_target import (
                             lifted_model_block, target_kernel_supported)
-                        from ..samplers.chees import ChEESHMC
-                        from ..samplers.nuts import NUTS
 
                         vec = getattr(t.sampler, "_kind", None) is not None
-                        dyn = isinstance(t.sampler, (ChEESHMC, NUTS))
                         lifted = lifted_model_block(t.model)
                         use_warm = (lifted is not None
                                     and target_kernel_supported(
@@ -302,7 +298,7 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                                         integrator=getattr(
                                             t.sampler, "integrator",
                                             "leapfrog"),
-                                        vec_eps=vec, dyn_len=dyn,
+                                        vec_eps=vec, dyn_len=True,
                                         consts=lifted[1]))
         if (use_fused or use_target or use_warm) and fused == "auto":
             import logging
@@ -420,28 +416,26 @@ def continuation_route(model, sampler, n, fused="auto"):
         return False
     kindm = getattr(sampler, "_kind", None)
     mat = kindm == "dense"
+    # every fused continuation runs a dyn-len driver (shared per-step
+    # length jitter) — probe the exact variant
     if model.glm_spec is not None:
         from ..ops.glm_hmc import model_kernel_supported
-        from ..samplers.chees import ChEESHMC
 
         return model_kernel_supported(
             model, sampler, n, vec_prior=kindm is not None and not mat,
-            mat_prior=mat, dyn_len=isinstance(sampler, ChEESHMC))
+            mat_prior=mat, dyn_len=True)
     from ..ops.glm_hmc import _pick_block
     from ..ops.pallas_glm import LANE, _round_up
     from ..ops.pallas_target import (lifted_model_block,
                                      target_kernel_supported)
-    from ..samplers.chees import ChEESHMC
 
-    # probe the EXACT variant the continuation runs: ChEES continuations
-    # use the dyn-len kernel
     lifted = lifted_model_block(model)
     return (lifted is not None
             and target_kernel_supported(
                 lifted[0], _round_up(model.size, LANE), _pick_block(n),
                 integrator=sampler.integrator,
                 vec_eps=kindm is not None,
-                dyn_len=isinstance(sampler, ChEESHMC),
+                dyn_len=True,
                 consts=lifted[1]))
 
 
