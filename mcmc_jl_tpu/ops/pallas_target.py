@@ -289,6 +289,8 @@ def _multistep_inner(theta, seeds, eps, *, logp_block, d, n_leaps=10,
     ]
     for c in consts:
         c = jnp.asarray(c)
+        assert c.ndim == 2 and c.shape[0] == 1, \
+            "consts must be (1, size) rows (lifted_model_block layout)"
         inputs.append(c)
         in_specs.append(pl.BlockSpec(c.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))

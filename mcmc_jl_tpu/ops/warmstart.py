@@ -16,8 +16,11 @@ speed-of-light — this module wires the phases together:
    what the single-kernel launch wants), trajectory lengths likewise; a
    diagonal mass metric is pooled as the across-chain RMS of the per-chain
    scales.
-3. **Fused sampling** (``len - burnin`` steps): the frozen ``(eps, n_leaps)``
-   drive the fused trajectory kernel.  A diagonal metric folds in exactly:
+3. **Fused sampling** (``len - burnin`` steps): the frozen ``eps`` drives
+   the dynamic-trip-count trajectory kernels with per-step SHARED
+   Halton-jittered leap counts around the frozen ``n_leaps`` (a pooled
+   FIXED length resonates — all chains share the periodicity; jitter
+   removes it at identical kernel cost).  A diagonal metric folds in exactly:
    with ``theta = S z`` (S = diag of the pooled scale) the GLM posterior in
    ``z`` is again a GLM — design ``X S``, per-coordinate prior precision
    ``lam * s_j^2`` (the kernels' vector-prior path) — and unit-mass HMC in
@@ -154,6 +157,19 @@ def _warmup(model, sampler, runner, n_chains, k_init, k_warm, mesh=None):
     return _scan_chains(model, sampler, ctx, states0, k_warm, runner.burnin)
 
 
+def _fold_theta(theta_w, s):
+    """Fold positions into the kernel's z-space: identity (unit metric),
+    ``theta / s`` (diag), or ``L^{-1} theta`` (dense)."""
+    theta_w = np.asarray(theta_w, np.float64)
+    if s is None:
+        return theta_w
+    if np.ndim(s) == 2:
+        from scipy.linalg import solve_triangular
+
+        return solve_triangular(s, theta_w.T, lower=True).T
+    return theta_w / s[None, :]
+
+
 def _fold(spec, model_size, states_w, s, tiled=False, tile_n=None):
     """Phase 2 fold: reparameterize ``theta = S z`` (diag) or ``theta =
     L z`` (dense) so the z-space posterior is again a GLM the kernel runs
@@ -165,24 +181,20 @@ def _fold(spec, model_size, states_w, s, tiled=False, tile_n=None):
     a zero-weight vector); ``tile_n`` must be the SAME value the
     sampling-phase driver uses (the caller resolves
     ``pallas_glm_bign.TILE_N`` once and threads it through both)."""
-    from scipy.linalg import solve_triangular
-
     from .pallas_glm import pad_design
 
     X = np.asarray(spec.X, np.float64)
     d = model_size
     lam = float(spec.prior_prec)
-    theta_w = np.asarray(states_w.pars, np.float64)  # (C, d)
+    theta0 = _fold_theta(states_w.pars, s)  # (C, d) in kernel z-space
     dense = s is not None and np.ndim(s) == 2
     if dense:
         # theta = L z: design X L; z-prior precision lam L^T L (matrix)
         Xs = X @ s
-        theta0 = solve_triangular(s, theta_w.T, lower=True).T
     elif s is not None:
         Xs = X * s[None, :]
-        theta0 = theta_w / s[None, :]
     else:
-        Xs, theta0 = X, theta_w
+        Xs = X
     if tiled:
         from .pallas_glm_bign import TILE_N, pad_design_tiled
 
@@ -352,7 +364,7 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     the GLM pipeline (module docstring).
     """
     from .pallas_glm import LANE, _round_up, pad_chains
-    from .pallas_target import _run, lifted_model_block
+    from .pallas_target import lifted_model_block
 
     assert _warm_ok(model, sampler, runner), \
         "warmfused_target_chains requires an adaptive HMC/HMCDA task"
@@ -384,7 +396,7 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
                                  max_leaps=max(2 * nl, 2),
                                  block_chains=block, interpret=interpret,
                                  integrator=sampler.integrator,
-                                 consts=consts)
+                                 consts=consts, extras=False)
 
     (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
                                             n_chains, mesh)
@@ -412,7 +424,6 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
     per-device PRNG streams (the warm-start analog of
     :func:`mcmc_jl_tpu.ops.glm_hmc.run_glm_hmc_sharded`).
     """
-    from .glm_hmc import _run
     from .pallas_glm import pad_chains
 
     spec = model.glm_spec
@@ -449,7 +460,7 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
     kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
               max_leaps=max(2 * nl, 2), interpret=interpret,
               kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
-              integrator=sampler.integrator)
+              integrator=sampler.integrator, extras=False)
 
     def run_phase(th0, k, block):
         if big_n:
@@ -488,7 +499,7 @@ def _eps_row(eps, s, d, d_pad):
 
 
 def _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, *, d, steps, i0,
-                max_leaps):
+                max_leaps, extras=True):
     """Shared frozen-ChEES scan over ``steps`` transitions.
 
     Per step ``t`` the shared leap count is the sampler's own rule
@@ -529,9 +540,11 @@ def _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, *, d, steps, i0,
         lp = jnp.where(accept, p_lp, lp)
         # live d columns only: the stacked ys dominate the HBM footprint
         info = {"ppars": theta[:, :d], "pgrads": g[:, :d],
-                "plogtarget": lp, "accept": accept, "alpha": alpha,
-                "epsilon": jnp.broadcast_to(eps, (C,)),
-                "nleaps": jnp.broadcast_to(nl, (C,))}
+                "plogtarget": lp, "accept": accept}
+        if extras:  # ChEES/NUTS diagnostics; dead weight on the HMC paths
+            info.update({"alpha": alpha,
+                         "epsilon": jnp.broadcast_to(eps, (C,)),
+                         "nleaps": jnp.broadcast_to(nl, (C,))})
         return (theta, lp, g), info
 
     keys = jax.random.split(key, steps)
@@ -542,10 +555,10 @@ def _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, *, d, steps, i0,
 @functools.partial(
     jax.jit,
     static_argnames=("d", "steps", "max_leaps", "block_chains",
-                     "interpret", "kind", "lam", "integrator"))
+                     "interpret", "kind", "lam", "integrator", "extras"))
 def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
                block_chains, interpret, kind="logistic", W=None, O=None,
-               lam=1.0, lam_vec=None, integrator="leapfrog"):
+               lam=1.0, lam_vec=None, integrator="leapfrog", extras=True):
     """Frozen-hyper ChEES transitions through the dynamic-trip-count GLM
     kernel (see :func:`_chees_scan`; the leap count feeds the kernel as a
     traced SMEM scalar)."""
@@ -582,18 +595,19 @@ def _chees_run(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
             weights=W, offsets=O, prior_prec=prior, integrator=integrator)
 
     return _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, d=d,
-                       steps=steps, i0=i0, max_leaps=max_leaps)
+                       steps=steps, i0=i0, max_leaps=max_leaps,
+                       extras=extras)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("d", "steps", "max_leaps", "tile_n",
                      "block_chains", "interpret", "kind", "lam",
-                     "integrator"))
+                     "integrator", "extras"))
 def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
                     tile_n, block_chains, interpret, kind="logistic",
                     W=None, O=None, lam=1.0, lam_vec=None,
-                    integrator="leapfrog"):
+                    integrator="leapfrog", extras=True):
     """Large-N ChEES sampling phase: the N-tiled gradient kernel
     (pallas_glm_bign) inside an XLA leapfrog loop whose trip count is the
     sampler's per-step Halton-jittered length — a traced ``fori_loop``
@@ -638,16 +652,17 @@ def _chees_run_bign(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
         return p_th, p_m, p_g, p_lp
 
     return _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, d=d,
-                       steps=steps, i0=i0, max_leaps=max_leaps)
+                       steps=steps, i0=i0, max_leaps=max_leaps,
+                       extras=extras)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("logp_block", "d", "steps", "max_leaps",
-                     "block_chains", "interpret", "integrator"))
+                     "block_chains", "interpret", "integrator", "extras"))
 def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
                       i0, max_leaps, block_chains, interpret,
-                      integrator="leapfrog", consts=()):
+                      integrator="leapfrog", consts=(), extras=True):
     """Dynamic-length fused sampling phase on a DATA-FREE target: per step
     the shared Halton-jittered leap count (``ceil(halton2(i0+t) T / eps)``,
     the ChEES rule) feeds the custom-target kernel's runtime trip count;
@@ -668,7 +683,8 @@ def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
             integrator=integrator, consts=consts)
 
     return _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, d=d,
-                       steps=steps, i0=i0, max_leaps=max_leaps)
+                       steps=steps, i0=i0, max_leaps=max_leaps,
+                       extras=extras)
 
 
 def _dyn_target_phase(model, integrator, eps, T, max_leaps, s, states_w,
@@ -814,97 +830,71 @@ def continue_eligible(task):
     return False
 
 
-def fused_continue_chains(model, sampler, states, steps, key,
-                          interpret=None, mesh=None):
-    """Continue a BATCH of chains from their stored states through the
-    fused kernels: the adapted ``(eps, n_leaps, metric)`` are extracted
-    from the states (after a warm-fused run they are already pooled and
-    identical across chains — the extraction is then bit-exact; after a
-    generic adaptive run the same median/RMS pooling as the warm-start
-    freeze applies) and drive the plain fused (or fold) kernel for all
-    ``steps`` continuation steps.  Returns ``(infos, final_states)`` with
-    the run_chains info protocol (all ``steps`` rows are post-burnin)."""
+def make_fused_continuation(model, sampler, states0, interpret=None,
+                            mesh=None):
+    """One-time freeze + fold from ``states0``; returns
+    ``continue_fn(states, steps, key) -> (infos, new_states)`` that reuses
+    the staged kernel inputs (design matrix, prior fold, frozen hypers)
+    across segments — ``run_until``'s block loop would otherwise re-upload
+    the padded design through the tunnel every block.  Valid for any later
+    states of the same frozen run (post-burnin adaptation never fires, so
+    the hypers extracted from ``states0`` ARE the run's hypers).
+
+    The adapted ``(eps, n_leaps, metric)`` are extracted from the states
+    (after a warm-fused run they are already pooled and identical across
+    chains — bit-exact extraction; after a generic adaptive run the same
+    median/RMS pooling as the warm-start freeze applies) and drive the
+    dynamic-length fused drivers with per-step SHARED Halton-jittered leap
+    counts (the Halton index continues from ``states.i``, so successive
+    segments extend one low-discrepancy sequence)."""
     from ..samplers.chees import ChEESHMC
     from .pallas_glm import LANE, _round_up, pad_chains
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n_chains = int(states.pars.shape[0])
+    n_chains = int(states0.pars.shape[0])
     d = model.size
     spec = getattr(model, "glm_spec", None)
     chees = isinstance(sampler, ChEESHMC)
     if chees:
-        eps = float(np.median(np.asarray(states.dual_leap_step)))
-        T = float(np.exp(np.median(np.asarray(states.log_len))))
+        eps = float(np.median(np.asarray(states0.dual_leap_step)))
+        T = float(np.exp(np.median(np.asarray(states0.log_len))))
         nl = None
-        s = _pool_mass(getattr(sampler, "_kind", None), states)
+        s = _pool_mass(getattr(sampler, "_kind", None), states0)
+        max_leaps = sampler.max_leaps
+        extras = ("alpha", "epsilon", "nleaps")
     else:
-        # _freeze already pools the mass metric (its third return)
-        eps, nl, s = _freeze(sampler, states)
+        # _freeze already pools the mass metric (its third return); shared
+        # per-step length jitter around the frozen nl (phase-3 note)
+        eps, nl, s = _freeze(sampler, states0)
+        T = 2.0 * nl * eps
+        max_leaps = max(2 * nl, 2)
+        extras = ()
 
     if spec is not None:
         from . import pallas_glm_bign as bn
-        from .glm_hmc import _run
 
         big_n = spec.X.shape[0] > bn.BIGN_THRESHOLD
         tile_n = bn.TILE_N if big_n else None
-        XT, Y2, d_pad, theta0, lam, lam_fold, W, O = _fold(
-            spec, d, states, s, tiled=big_n, tile_n=tile_n)
-        theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
-        if chees:
-            # continue the Halton sequence where the chain stopped so the
-            # jittered lengths stay low-discrepancy across the resume
-            i0 = int(np.max(np.asarray(states.i)))
-            kw = dict(d=d, steps=steps, i0=i0,
-                      max_leaps=sampler.max_leaps, interpret=interpret,
-                      kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
-                      integrator=sampler.integrator)
+        XT, Y2, d_pad, _, lam, lam_fold, W, O = _fold(
+            spec, d, states0, s, tiled=big_n, tile_n=tile_n)
+        kw = dict(d=d, max_leaps=max_leaps, interpret=interpret,
+                  kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
+                  integrator=sampler.integrator)
+        if not chees:
+            kw["extras"] = False
 
-            def run_phase(th0, k, block):
-                if big_n:
-                    return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
-                                           jnp.float32(T), k,
-                                           tile_n=tile_n,
-                                           block_chains=block, **kw)
-                return _chees_run(XT, Y2, th0, jnp.float32(eps),
-                                  jnp.float32(T), k, block_chains=block,
-                                  **kw)
+        def run_phase(th0, k, block, steps, i0):
+            if big_n:
+                return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
+                                       jnp.float32(T), k, tile_n=tile_n,
+                                       block_chains=block, steps=steps,
+                                       i0=i0, **kw)
+            return _chees_run(XT, Y2, th0, jnp.float32(eps),
+                              jnp.float32(T), k, block_chains=block,
+                              steps=steps, i0=i0, **kw)
 
-            extras = ("alpha", "epsilon", "nleaps")
-        else:
-            # shared per-step Halton jitter around the frozen nl (see the
-            # warm pipeline's phase-3 note); the index continues from
-            # states.i so successive segments keep the low-discrepancy
-            # sequence going
-            T = 2.0 * nl * eps
-            i0 = int(np.max(np.asarray(states.i)))
-            kw = dict(d=d, steps=steps, i0=i0, max_leaps=max(2 * nl, 2),
-                      interpret=interpret, kind=spec.kind, W=W, O=O,
-                      lam=lam, lam_vec=lam_fold,
-                      integrator=sampler.integrator)
-
-            def run_phase(th0, k, block):
-                if big_n:
-                    return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
-                                           jnp.float32(T), k,
-                                           tile_n=tile_n,
-                                           block_chains=block, **kw)
-                return _chees_run(XT, Y2, th0, jnp.float32(eps),
-                                  jnp.float32(T), k, block_chains=block,
-                                  **kw)
-
-            extras = ()
-    elif chees:
-        # ChEES continuation on a data-free target: the dyn-len phase runs
-        # its own mesh dispatch; Halton index continues from states.i
-        i0 = int(np.max(np.asarray(states.i)))
-        (thetaF, lpF, gF), infos2 = _dyn_target_phase(
-            model, sampler.integrator, eps, T, sampler.max_leaps, s,
-            states, steps, i0, key, n_chains, interpret, mesh)
-        infos, theta_model = _unfold(
-            infos2, thetaF, None, d,
-            extra_keys=("alpha", "epsilon", "nleaps"))
-        run_phase = None
+        fold_s = unfold_s = s
     else:
         from .pallas_target import lifted_model_block
 
@@ -914,38 +904,52 @@ def fused_continue_chains(model, sampler, states, steps, key,
         assert lifted is not None, \
             "model data exceeds the lifted-kernel budget (routing bug)"
         logp_block, tconsts = lifted
-        theta0p = pad_chains(
-            jnp.asarray(np.asarray(states.pars, np.float32)), d_pad)
-        s = None  # theta-space: no unfold
-        T = 2.0 * nl * eps  # shared per-step length jitter (phase-3 note)
-        i0 = int(np.max(np.asarray(states.i)))
+        tkw = dict(d=d, max_leaps=max_leaps, interpret=interpret,
+                   integrator=sampler.integrator, consts=tconsts)
+        if not chees:
+            tkw["extras"] = False
 
-        def run_phase(th0, k, block):
+        def run_phase(th0, k, block, steps, i0):
             return _chees_target_run(logp_block, th0, eps_in,
                                      jnp.float32(eps), jnp.float32(T), k,
-                                     d=d, steps=steps, i0=i0,
-                                     max_leaps=max(2 * nl, 2),
-                                     block_chains=block,
-                                     interpret=interpret,
-                                     integrator=sampler.integrator,
-                                     consts=tconsts)
+                                     block_chains=block, steps=steps,
+                                     i0=i0, **tkw)
 
-        extras = ()
+        # target path: the metric rides the kernel's eps row — positions
+        # stay in theta-space, nothing to fold or unfold
+        fold_s = unfold_s = None
 
-    if run_phase is not None:
-        (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, key,
-                                                n_chains, mesh)
-        infos, theta_model = _unfold(infos2, thetaF, s, d,
+    def continue_fn(states, steps, key):
+        theta0p = pad_chains(
+            jnp.asarray(_fold_theta(states.pars, fold_s), jnp.float32),
+            d_pad)
+        i0 = int(np.max(np.asarray(states.i)))
+        (thetaF, lpF, gF), infos2 = _mesh_phase(
+            lambda th0, k, blk: run_phase(th0, k, blk, steps, i0),
+            theta0p, key, n_chains, mesh)
+        infos, theta_model = _unfold(infos2, thetaF, unfold_s, d,
                                      extra_keys=extras)
-    if chees:
         theta_model = theta_model.astype(states.pars.dtype)
-        out = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
-            states, theta_model)
-        out = out.replace(i=out.i + steps)
-    else:
-        out = _frozen_states(model, sampler, states, theta_model, eps,
-                             nl, steps)
-    return infos, out
+        if chees:
+            out = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
+                states, theta_model)
+            out = out.replace(i=out.i + steps)
+        else:
+            out = _frozen_states(model, sampler, states, theta_model, eps,
+                                 nl, steps)
+        return infos, out
+
+    return continue_fn
+
+
+def fused_continue_chains(model, sampler, states, steps, key,
+                          interpret=None, mesh=None):
+    """One-shot fused continuation of a batch of chains — docs on
+    :func:`make_fused_continuation`, which ``run_until`` uses directly to
+    amortize the freeze + fold across repeated segments."""
+    return make_fused_continuation(model, sampler, states,
+                                   interpret=interpret, mesh=mesh)(
+        states, steps, key)
 
 
 def warmfused_nuts_chains(model, sampler, runner, n_chains, key,

@@ -97,14 +97,19 @@ def run_until(model, sampler, n_chains=8, *, rhat_target=1.01, min_ess=400,
     steps_run = 0
     converged = False
     use_cont = None  # decided once the adaptation window is consumed
+    cont_fn = None
     r = e = None
     while steps_run < max_steps:
         if use_cont:
-            from ..ops.warmstart import fused_continue_chains
+            if cont_fn is None:
+                # one-time freeze + fold: segments reuse the staged design
+                # matrix / prior fold instead of re-uploading per block
+                from ..ops.warmstart import make_fused_continuation
 
+                cont_fn = make_fused_continuation(model, sampler, states,
+                                                  mesh=mesh)
             key, k_blk = jax.random.split(key)
-            infos, states = fused_continue_chains(
-                model, sampler, states, check_every, k_blk, mesh=mesh)
+            infos, states = cont_fn(states, check_every, k_blk)
         else:
             infos, states, key = run_chains(
                 model, sampler, _Blk, n_chains, key=key, states=states,

@@ -68,19 +68,24 @@ def test_run_until_fused_continuation_blocks():
     s = mc.HMC(5, 0.05, mc.EmpMCTuner(0.8, adapt_step=50))
 
     calls = []
-    orig = ws.fused_continue_chains
+    orig = ws.make_fused_continuation
 
     def spy(*a, **kw):
-        calls.append(1)
-        return orig(*a, **kw)
+        fn = orig(*a, **kw)
 
-    ws.fused_continue_chains = spy
+        def counted(*fa, **fkw):
+            calls.append(1)
+            return fn(*fa, **fkw)
+
+        return counted
+
+    ws.make_fused_continuation = spy
     try:
         res = mc.run_until(m, s, n_chains=4, rhat_target=1.1, min_ess=50,
                            check_every=200, max_steps=2000, seed=0,
                            fused=True)
     finally:
-        ws.fused_continue_chains = orig
+        ws.make_fused_continuation = orig
     assert calls, "fused continuation blocks were not routed"
     assert res.converged
     assert np.all(np.isfinite(res.samples))
