@@ -502,7 +502,7 @@ def run_glm_hmc_sharded(X, Y, n_chains, steps, mesh=None, axis="chains",
     as :func:`run_glm_hmc`, with rows [i*C/n_dev:(i+1)*C/n_dev] produced by
     device i.
     """
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map
 
     if mesh is None:

@@ -15,7 +15,7 @@ diagnostics only; it does not condition on sample values beyond them).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import numpy as np
