@@ -24,10 +24,13 @@ def _timeit(f, inner=20, repeats=5):
         for _ in range(inner):
             r = f()
         # REDUCED fetch, not block_until_ready: the latter does not
-        # reliably block through the axon tunnel (round-4 lesson)
+        # reliably block through the axon tunnel (round-4 lesson).  Some
+        # timed fns return host objects (MCMCChain) whose arrays are
+        # already materialized — only device arrays need the fetch.
         import jax.numpy as jnp
         for leaf in jax.tree_util.tree_leaves(r):
-            float(jnp.sum(leaf))
+            if hasattr(leaf, "dtype"):
+                float(jnp.sum(leaf))
         best = min(best, (time.perf_counter() - t0) / inner)
     return best
 

@@ -30,7 +30,8 @@ def _block(x):
     import jax.numpy as jnp
 
     for leaf in jax.tree_util.tree_leaves(x):
-        float(jnp.sum(leaf))
+        if hasattr(leaf, "dtype"):  # host objects are already materialized
+            float(jnp.sum(leaf))
 
 
 def run():
