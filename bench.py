@@ -27,6 +27,13 @@ exist, so this run can no longer fail silent:
   multistep kernel is attempted, and every timed rep updates the bank;
 * both exits use os._exit after flushing stdout, so a wedged TPU client
   cannot hang process teardown and leave a stray chip lease behind.
+
+CONSUMER CONTRACT: the JSON line always carries metric/value/unit/
+vs_baseline; on a watchdog exit it ALSO carries a "note" key explaining
+which banked measurement was printed.  A TOTAL stall prints value 0.0
+(with note "no measurement completed") and still exits 0 — rc alone
+cannot distinguish a wedged run from success, so parsers must treat
+value == 0.0 / the presence of "note" as a degraded-run signal.
 """
 import json
 import os

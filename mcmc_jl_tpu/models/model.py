@@ -444,6 +444,10 @@ def _unravel_static(theta, pmap):
         # dynamic_slice under the in-kernel vmap defeats Mosaic's
         # gather/slice lowering and would knock DSL models off the lifted
         # fused-target path (ops/pallas_target.lifted_model_block)
+        assert isinstance(off, (int, np.integer)), (
+            f"pmap offset for {name!r} must be a Python int (got "
+            f"{type(off).__name__}): traced offsets defeat the static-slice "
+            f"layout the fused kernels rely on")
         sl = jax.lax.slice_in_dim(theta, off - 1, off - 1 + n)
         if len(shape) == 0:
             out[name] = sl[0]

@@ -524,9 +524,12 @@ def _lifted_block_cached(ev, d):
     if sum(int(np.prod(np.shape(c)) or 1) * np.dtype(c.dtype).itemsize
            for c in closed.consts) > MAX_CONST_BYTES:
         return None
-    consts = [jnp.asarray(c) for c in closed.consts]
-    shapes = tuple(tuple(np.shape(c)) for c in consts)
-    rows = tuple(jnp.reshape(c, (1, -1)) for c in consts)
+    # cache HOST rows: an lru entry pinning device-resident buffers would
+    # hold up to MAX_CONST_BYTES of dead HBM per repeatedly-reconstructed
+    # model until eviction; callers jnp.asarray the rows at use time (a
+    # cheap re-upload amortized by the per-run compile caches)
+    shapes = tuple(tuple(np.shape(c)) for c in closed.consts)
+    rows = tuple(np.asarray(c).reshape(1, -1) for c in closed.consts)
 
     def converted(th, *cs):
         out = jax.core.eval_jaxpr(closed.jaxpr, cs, th)

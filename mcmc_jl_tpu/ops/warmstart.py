@@ -76,6 +76,8 @@ def _warm_ok(model, sampler, runner):
             return False
         return s.tuner is not None or s._kind is not None
     if isinstance(s, HMCDA):
+        if s._kind == "dense" and not glm:
+            return False  # dense fold: GLM kernels only (as for HMC)
         return (not s.store_leaps
                 and s.integrator in ("leapfrog", "2stage", "3stage"))
     if isinstance(s, ChEESHMC):
@@ -138,10 +140,11 @@ def _freeze(sampler, states_w):
             eps, nl = sampler.leap_step, sampler.n_leaps
         return eps, max(int(nl), 1), _pool_mass(sampler._kind, states_w)
     # HMCDA: the frozen dual-averaged step (HMCDA.jl:133-141), trajectory
-    # length from the target path length (HMCDA.jl:104)
+    # length from the target path length (HMCDA.jl:104); the pooled mass
+    # metric freezes exactly like HMC's (massadapt is sampler-agnostic)
     eps = float(np.median(np.asarray(states_w.dual_leap_step)))
     nl = max(1, int(round(sampler.len / eps)))
-    return eps, nl, None
+    return eps, nl, _pool_mass(sampler._kind, states_w)
 
 
 def _warmup(model, sampler, runner, n_chains, k_init, k_warm, mesh=None):
@@ -823,6 +826,8 @@ def continue_eligible(task):
             return False  # dense fold: GLM kernels only
         return s._kind in (None, "diag", "diag-win", "dense")
     if isinstance(s, HMCDA):
+        if s._kind == "dense" and not glm:
+            return False  # dense fold: GLM kernels only
         return not s.store_leaps and s.integrator in ok_integ
     if isinstance(s, ChEESHMC):
         return (getattr(s, "_kind", None) in (None, "diag", "diag-win")

@@ -449,7 +449,13 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
     never fires again) route to the fused kernels via
     :func:`mcmc_jl_tpu.ops.warmstart.fused_continue_chains` — a resumed
     adapted run continues at fused speed instead of dropping to the
-    generic engine.  ``fused`` semantics match :func:`prun_serialmc`."""
+    generic engine.  ``fused`` semantics match :func:`prun_serialmc`.
+
+    PRNG note: each group's continuation stream derives from the FIRST
+    member's stored task key only; the other members' stored keys are
+    ignored (safe — per-index restamping in ``_package_group`` keeps the
+    downstream streams distinct — but per-chain key state is deliberately
+    not folded in)."""
     from ..runners.serialmc import SerialMC
 
     from ..runners.serialmc import resume_serialmc

@@ -17,6 +17,10 @@ import jax.numpy as jnp
 
 from .base import RunCtx, Sampler, pytree_dataclass
 from .integrators import get_integrator, hamiltonian, leapfrog
+from .massadapt import (
+    MassAccum, dense_transforms, mass_init, mass_kind, mass_update,
+    mass_vector_scale,
+)
 
 
 @pytree_dataclass
@@ -29,6 +33,11 @@ class HMCDAState:
     dual_h: jnp.ndarray
     mu: jnp.ndarray
     i: jnp.ndarray
+    # Mass-matrix warmup accumulators (massadapt.py) — the same options as
+    # HMC/NUTS (mass_adapt=False|True/"diag"|"diag-win"|"dense"); the
+    # dual-averaged step size and the metric adapt side by side during
+    # burn-in and both freeze after (VERDICT r4 next #8)
+    mass: MassAccum
 
 
 def find_reasonable_step(model, pars, lp, grad, m, key, max_iter=100):
@@ -71,11 +80,15 @@ class HMCDA(Sampler):
     #: "leapfrog" | "2stage" | "3stage" (samplers/integrators.py); trajectory
     #: length `len` still counts macro steps of size eps
     integrator: str = "leapfrog"
+    #: False | True/"diag" (continuous Welford) | "diag-win" | "dense" —
+    #: the same mass-matrix warmup as HMC (massadapt.py)
+    mass_adapt: object = False
 
     needs_gradient = True
 
     def __init__(self, rate=0.65, len=2.0, shrinkage=0.05, t0=10.0, step=0.75,
-                 store_leaps=False, step_pow=None, integrator="leapfrog"):
+                 store_leaps=False, step_pow=None, integrator="leapfrog",
+                 mass_adapt=False):
         object.__setattr__(self, "rate", float(rate))
         object.__setattr__(self, "len", float(len))
         object.__setattr__(self, "shrinkage", float(shrinkage))
@@ -84,7 +97,13 @@ class HMCDA(Sampler):
         object.__setattr__(self, "store_leaps", bool(store_leaps))
         get_integrator(integrator)  # validate early
         object.__setattr__(self, "integrator", integrator)
+        mass_kind(mass_adapt)  # validate early
+        object.__setattr__(self, "mass_adapt", mass_adapt)
         self.__post_init__()
+
+    @property
+    def _kind(self):
+        return mass_kind(self.mass_adapt)
 
     def __post_init__(self):
         assert 0.0 < self.rate < 1.0, "Target acceptance rate should be in (0, 1)"
@@ -103,6 +122,7 @@ class HMCDA(Sampler):
             dual_h=jnp.asarray(0.0, dtype=theta0.dtype),
             mu=jnp.log(10.0 * eps),
             i=jnp.asarray(1, dtype=jnp.int32),
+            mass=mass_init(self._kind, theta0.shape[0], theta0.dtype),
         )
 
     def reset(self, model, state, theta):
@@ -114,6 +134,30 @@ class HMCDA(Sampler):
         dtype = state.pars.dtype
         eps = state.leap_step
 
+        kind = self._kind
+        if kind == "dense":
+            # standardized coordinates theta = L z (the HMC dense path,
+            # samplers/hmc.py step): unit-metric dynamics in z == dense
+            # inverse-mass Sigma-hat = L L' in theta
+            import types
+
+            L = state.mass.scale.astype(dtype)
+            fwd, inv, gfwd, ginv = dense_transforms(L)
+            work_model = types.SimpleNamespace(
+                evalallg=lambda z: (lambda lp_g: (lp_g[0], gfwd(lp_g[1])))(
+                    model.evalallg(fwd(z))
+                )
+            )
+            pars0, grad0 = inv(state.pars), gfwd(state.grad)
+            eps_step = eps
+        else:
+            # diag kinds: vector integrator step eps * scale; the length
+            # rule below keeps counting scalar-eps time (like ChEES)
+            eps_step = (eps * mass_vector_scale(kind, state.mass, dtype)
+                        if kind is not None else eps)
+            work_model = model
+            pars0, grad0 = state.pars, state.grad
+
         m0 = jax.random.normal(k_mom, state.pars.shape, dtype=dtype)
         H0 = hamiltonian(state.logtarget, m0)
 
@@ -122,11 +166,13 @@ class HMCDA(Sampler):
 
         def body(j, carry):
             pars, lp, g, m = carry
-            return step_fn(model, pars, m, g, eps)
+            return step_fn(work_model, pars, m, g, eps_step)
 
         pars, lp, g, m = jax.lax.fori_loop(
-            0, n_leaps, body, (state.pars, state.logtarget, state.grad, m0)
+            0, n_leaps, body, (pars0, state.logtarget, grad0, m0)
         )
+        if kind == "dense":  # back to theta-space
+            pars, g = fwd(pars), ginv(g)
 
         H = hamiltonian(lp, m)
         p = jnp.minimum(1.0, jnp.exp(H0 - H))
@@ -160,11 +206,13 @@ class HMCDA(Sampler):
             "grads": state.grad,
             "accept": accept,
         }
+        mass = mass_update(kind, state.mass, new_pars, state.i, ctx.burnin)
+
         return (
             HMCDAState(
                 pars=new_pars, logtarget=new_lp, grad=new_grad,
                 leap_step=new_eps, dual_leap_step=new_dual_eps,
-                dual_h=new_dual_h, mu=state.mu, i=state.i + 1,
+                dual_h=new_dual_h, mu=state.mu, i=state.i + 1, mass=mass,
             ),
             info,
         )

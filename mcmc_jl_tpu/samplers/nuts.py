@@ -99,7 +99,9 @@ class NUTS(Sampler):
     #: lengths around the empirical median).  Vmapped NUTS pays the
     #: deepest-tree-in-batch tax on every post-warmup step even though the
     #: tree depth distribution is stationary by then — the handoff trades
-    #: the per-step U-turn criterion for that tax.  GLM posteriors only.
+    #: the per-step U-turn criterion for that tax.  Serves GLM posteriors
+    #: and bounded data-free custom targets (the lifted fused-target
+    #: kernel; routing compile-probes before committing).
     warm_handoff: bool = False
 
     needs_gradient = True

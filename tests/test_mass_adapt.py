@@ -137,6 +137,44 @@ def test_windowed_diag_schedule_and_freeze():
     np.testing.assert_allclose(x.std(axis=0, ddof=1), SDS, rtol=0.35)
 
 
+def test_hmcda_mass_adapt():
+    """HMCDA gets the same mass_adapt options as HMC (massadapt.py is
+    sampler-agnostic; VERDICT r4 next #8): the dual-averaged step and the
+    metric adapt side by side during burn-in, and the preconditioned run
+    beats plain HMCDA on the worst coordinate of a badly-scaled target."""
+    m = _model()
+    r = mc.SerialMC(steps=5000, burnin=2000)
+    c_plain = mc.run(m * mc.HMCDA(len=1.0) * r, seed=0)
+    c_mass = mc.run(m * mc.HMCDA(len=1.0, mass_adapt="diag-win") * r, seed=0)
+
+    x = c_mass.samples.values
+    np.testing.assert_allclose(x.std(axis=0, ddof=1), SDS, rtol=0.3)
+    z = np.abs(x.mean(axis=0)) / np.maximum(np.sqrt(mc.var(c_mass)), 1e-12)
+    assert np.all(z < 5), z
+    # plain HMCDA's DA shrinks eps for the 0.1-sd coordinate, crippling the
+    # 10-sd coordinate; the metric decouples them
+    assert min(mc.ess(c_mass)) > 1.5 * min(mc.ess(c_plain)), (
+        mc.ess(c_plain), mc.ess(c_mass))
+    # adapted scale approximates the marginal sds; frozen after burn-in
+    st = c_mass.task.state
+    np.testing.assert_allclose(np.asarray(st.mass.scale), SDS, rtol=0.5)
+    c2 = mc.resume(c_mass, steps=200)
+    np.testing.assert_array_equal(np.asarray(c2.task.state.mass.scale),
+                                  np.asarray(st.mass.scale))
+
+
+def test_hmcda_dense_mass():
+    sig, m = _corr_model()
+    r = mc.SerialMC(steps=5000, burnin=2000)
+    c_diag = mc.run(m * mc.HMCDA(len=2.0, mass_adapt="diag-win") * r, seed=0)
+    c_dense = mc.run(m * mc.HMCDA(len=2.0, mass_adapt="dense") * r, seed=0)
+    x = c_dense.samples.values
+    relerr = np.abs(np.cov(x.T) - sig).max() / sig.max()
+    assert relerr < 0.2, relerr
+    assert min(mc.ess(c_dense)) > 3 * min(mc.ess(c_diag)), (
+        mc.ess(c_diag), mc.ess(c_dense))
+
+
 def test_mass_adapt_flag_validation():
     import pytest
 
@@ -144,6 +182,8 @@ def test_mass_adapt_flag_validation():
         mc.HMC(10, 0.5, mass_adapt="bogus")
     with pytest.raises(ValueError):
         mc.NUTS(mass_adapt="bogus")
+    with pytest.raises(ValueError):
+        mc.HMCDA(mass_adapt="bogus")
 
 
 def test_windowed_adapts_with_short_burnin():
