@@ -67,17 +67,12 @@ def _warm_ok(model, sampler, runner):
         if s.store_leaps or s.integrator not in ("leapfrog", "2stage",
                                                  "3stage"):
             return False
-        if s._kind == "dense" and not glm:
-            # dense-mass fold: matrix-prior GLM kernels only (small-N
-            # trajectory kernel AND the N-tiled driver); the custom-target
-            # kernel has no fold
-            return False
+        # dense metric: matrix-prior fold on the GLM kernels, z-space
+        # wrapper (dense_target_setup) on the custom-target kernel
         if s._kind not in (None, "diag", "diag-win", "dense"):
             return False
         return s.tuner is not None or s._kind is not None
     if isinstance(s, HMCDA):
-        if s._kind == "dense" and not glm:
-            return False  # dense fold: GLM kernels only (as for HMC)
         return (not s.store_leaps
                 and s.integrator in ("leapfrog", "2stage", "3stage"))
     if isinstance(s, ChEESHMC):
@@ -94,7 +89,7 @@ def _warm_ok(model, sampler, runner):
         # trajectory-length distribution through the ChEES-style
         # dynamic-length kernel (see warmfused_nuts_chains)
         return (s.warm_handoff
-                and s._kind in (None, "diag", "diag-win"))
+                and s._kind in (None, "diag", "diag-win", "dense"))
     return False
 
 
@@ -300,6 +295,34 @@ def _mesh_phase(run_phase, theta0p, k_samp, n_chains, mesh):
     return run_phase(theta0p, k_samp, _pick_block(n_chains))
 
 
+def target_route_supported(model, sampler, n_chains):
+    """Compile-probe the EXACT custom-target kernel variant a warm-start /
+    continuation phase would run for (model, sampler): the dense z-space
+    wrapper (with a placeholder L — lowerability does not depend on its
+    values) for a dense-metric sampler, else the vec-eps / dyn-len variant.
+    Shared by the prun and continuation routing (parallel/pchains.py)."""
+    from .glm_hmc import _pick_block
+    from .pallas_glm import LANE, _round_up
+    from .pallas_target import lifted_model_block, target_kernel_supported
+
+    lifted = lifted_model_block(model)
+    if lifted is None:
+        return False
+    kindm = getattr(sampler, "_kind", None)
+    d_pad = _round_up(model.size, LANE)
+    integ = getattr(sampler, "integrator", "leapfrog")
+    if kindm == "dense":
+        block, consts, _ = dense_target_setup(
+            model, np.eye(model.size, dtype=np.float32))
+        return target_kernel_supported(block, d_pad, _pick_block(n_chains),
+                                       integrator=integ, vec_eps=False,
+                                       dyn_len=True, consts=consts)
+    return target_kernel_supported(lifted[0], d_pad, _pick_block(n_chains),
+                                   integrator=integ,
+                                   vec_eps=kindm is not None,
+                                   dyn_len=True, consts=lifted[1])
+
+
 def warmfused_chains(model, sampler, runner, n_chains, key, interpret=None,
                      mesh=None):
     """Front door: dispatch the warm-start pipeline by sampler family and
@@ -359,16 +382,15 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     HMCDA.jl:133-141) — this closes the gap where only GLM posteriors
     reached full speed after warmup (VERDICT r3 missing #1).
 
-    The frozen diagonal metric needs NO reparameterization here: the kernel
+    A frozen DIAGONAL metric needs no reparameterization here: the kernel
     integrates with a per-coordinate step-size row (``eps_j = eps * s_j``,
     pallas_target._kernel vec_eps), which is the identical fold the generic
-    engine applies in theta-space — samples/gradients/log-targets come out
-    directly comparable, and the pooled-freeze caveat is the same as for
-    the GLM pipeline (module docstring).
+    engine applies in theta-space.  A DENSE metric folds through the
+    z-space wrapper (``theta = L z`` with an in-kernel ``z @ L^T`` matvec,
+    :func:`dense_target_setup`) and un-folds on the way out — the
+    pooled-freeze caveat is the same as for the GLM pipeline (module
+    docstring).
     """
-    from .pallas_glm import LANE, _round_up, pad_chains
-    from .pallas_target import lifted_model_block
-
     assert _warm_ok(model, sampler, runner), \
         "warmfused_target_chains requires an adaptive HMC/HMCDA task"
     if interpret is None:
@@ -379,33 +401,16 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
                                 k_init, k_warm, mesh=mesh)
     eps, nl, s = _freeze(sampler, states_w)
     d = model.size
-    d_pad = _round_up(d, LANE)
-    eps_in = _eps_row(eps, s, d, d_pad)
-    lifted = lifted_model_block(model)
-    assert lifted is not None, \
-        "model data exceeds the lifted-kernel budget (routing bug)"
-    logp_block, consts = lifted
-    theta0p = pad_chains(
-        jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
     steps2 = runner.len - runner.burnin
     # shared per-step Halton jitter around the frozen nl (see the GLM
     # pipeline's phase-3 note: a pooled FIXED length resonates)
     T = 2.0 * nl * eps
 
-    def run_phase(th0, k, block):
-        return _chees_target_run(logp_block, th0, eps_in, jnp.float32(eps),
-                                 jnp.float32(T), k, d=d, steps=steps2,
-                                 i0=runner.burnin + 1,
-                                 max_leaps=max(2 * nl, 2),
-                                 block_chains=block, interpret=interpret,
-                                 integrator=sampler.integrator,
-                                 consts=consts, extras=False)
-
-    (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
-                                            n_chains, mesh)
-    # theta-space throughout (the metric rides the step size, not a
-    # reparameterization): no unfold needed
-    infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, None, d)
+    (thetaF, lpF, gF), infos2, unfold_s = _dyn_target_phase(
+        model, sampler.integrator, eps, T, max(2 * nl, 2), s, states_w,
+        steps2, runner.burnin + 1, k_samp, n_chains, interpret, mesh,
+        extras=False)
+    infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, unfold_s, d)
     states = _frozen_states(model, sampler, states_w, theta_model, eps, nl,
                             steps2)
     return infos, states
@@ -499,6 +504,53 @@ def _eps_row(eps, s, d, d_pad):
         return jnp.float32(eps)
     return jnp.asarray(
         np.concatenate([eps * s, np.full(d_pad - d, eps)]), jnp.float32)
+
+
+@functools.lru_cache(maxsize=128)
+def _dense_wrap(logp_block, d_pad, n_consts):
+    """z-space block for the DENSE metric fold on a custom target:
+    ``block_z(z, *consts, L_row) = logp_block(z @ L^T, *consts)`` with the
+    padded Cholesky factor delivered as one extra (1, d_pad^2) const row —
+    the in-kernel ``jax.grad`` applies the chain rule, so gradients come
+    out in z-space for free (the custom-target analog of the GLM fold's
+    ``X L`` design; closes VERDICT r4 missing #3).  Cached so the wrapped
+    function object is stable across calls (it keys the jit/probe caches).
+    """
+    def block_z(z, *cs):
+        L = jnp.reshape(cs[n_consts][0], (d_pad, d_pad))
+        theta = jax.lax.dot_general(
+            z, L, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # z @ L^T
+        return logp_block(theta, *cs[:n_consts])
+
+    return block_z
+
+
+def dense_target_setup(model, s):
+    """Kernel inputs for a custom-target phase under a frozen metric ``s``
+    (None / (d,) diag / (d, d) dense Cholesky).
+
+    Returns ``(logp_block, consts, fold_s)``: for the dense kind the block
+    is the z-space wrapper above, ``consts`` carry the extra padded-L row,
+    and ``fold_s = s`` (positions fold through ``_fold_theta`` / unfold
+    through ``_unfold``); otherwise the lifted block passes through and
+    ``fold_s`` is None (a diag metric rides the kernel's vec-eps row —
+    positions stay in theta-space)."""
+    from .pallas_glm import LANE, _round_up
+    from .pallas_target import lifted_model_block
+
+    lifted = lifted_model_block(model)
+    assert lifted is not None, \
+        "model data exceeds the lifted-kernel budget (routing bug)"
+    logp_block, consts = lifted
+    if s is None or np.ndim(s) != 2:
+        return logp_block, consts, None
+    d = model.size
+    d_pad = _round_up(d, LANE)
+    L_pad = np.eye(d_pad, dtype=np.float32)
+    L_pad[:d, :d] = np.asarray(s, np.float32)
+    consts = tuple(consts) + (L_pad.reshape(1, -1),)
+    return _dense_wrap(logp_block, d_pad, len(lifted[1])), consts, s
 
 
 def _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, *, d, steps, i0,
@@ -691,30 +743,35 @@ def _chees_target_run(logp_block, theta0, eps_in, eps, T, key, *, d, steps,
 
 
 def _dyn_target_phase(model, integrator, eps, T, max_leaps, s, states_w,
-                      steps2, i0, k_samp, n_chains, interpret, mesh):
+                      steps2, i0, k_samp, n_chains, interpret, mesh,
+                      extras=True):
     """Run the dynamic-length custom-target sampling phase (shared by the
-    ChEES and NUTS-handoff pipelines on non-GLM models)."""
+    HMC/HMCDA, ChEES and NUTS-handoff pipelines on non-GLM models).
+
+    Returns ``((thetaF, lpF, gF), infos2, unfold_s)``: ``unfold_s`` is the
+    dense Cholesky factor when the metric folded through the z-space
+    reparameterization (callers must ``_unfold`` through it), else None
+    (diag metric on the vec-eps row; outputs already in theta-space)."""
     from .pallas_glm import LANE, _round_up, pad_chains
-    from .pallas_target import lifted_model_block
 
     d = model.size
     d_pad = _round_up(d, LANE)
-    eps_in = _eps_row(eps, s, d, d_pad)
-    lifted = lifted_model_block(model)
-    assert lifted is not None, \
-        "model data exceeds the lifted-kernel budget (routing bug)"
-    logp_block, consts = lifted
+    logp_block, consts, fold_s = dense_target_setup(model, s)
+    eps_in = (jnp.float32(eps) if fold_s is not None
+              else _eps_row(eps, s, d, d_pad))
     theta0p = pad_chains(
-        jnp.asarray(np.asarray(states_w.pars, np.float32)), d_pad)
+        jnp.asarray(_fold_theta(states_w.pars, fold_s), jnp.float32), d_pad)
 
     def run_phase(th0, k, block):
         return _chees_target_run(logp_block, th0, eps_in, jnp.float32(eps),
                                  jnp.float32(T), k, d=d, steps=steps2,
                                  i0=i0, max_leaps=max_leaps,
                                  block_chains=block, interpret=interpret,
-                                 integrator=integrator, consts=consts)
+                                 integrator=integrator, consts=consts,
+                                 extras=extras)
 
-    return _mesh_phase(run_phase, theta0p, k_samp, n_chains, mesh)
+    out, infos2 = _mesh_phase(run_phase, theta0p, k_samp, n_chains, mesh)
+    return out, infos2, fold_s
 
 
 def warmfused_chees_chains(model, sampler, runner, n_chains, key,
@@ -750,13 +807,14 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
     steps2 = runner.len - runner.burnin
 
     if spec is None:
-        # data-free custom target: metric rides the kernel's vec-eps row,
-        # theta-space throughout (no unfold)
-        (thetaF, lpF, gF), infos2 = _dyn_target_phase(
+        # data-free custom target: diag metric rides the kernel's vec-eps
+        # row (ChEES never freezes a dense metric)
+        (thetaF, lpF, gF), infos2, unfold_s = _dyn_target_phase(
             model, sampler.integrator, eps, T, sampler.max_leaps, s,
             states_w, steps2, runner.burnin + 1, k_samp, n_chains,
             interpret, mesh)
-        infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, None, d,
+        infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, unfold_s,
+                                         d,
                                          extra_keys=("alpha", "epsilon",
                                                      "nleaps"))
     else:
@@ -803,16 +861,19 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
 # =========================================================================
 
 
-def continue_eligible(task):
+def continue_eligible(task, states=None):
     """True when a stored task's STATE can continue through the fused path:
     HMC-family on a GLM posterior or a bounded data-free target.
     Continuation runners have ``burnin=0``, so tuners/dual averaging never
     adapt again — the state is frozen and the run is fixed-kernel MCMC,
-    exactly what the fused kernels execute.  (Structural check only; the
-    prun-style routing still compile-probes the kernel.)"""
+    exactly what the fused kernels execute.  (Structural check only except
+    for NUTS, whose warm-handoff states must carry a frozen empirical
+    trajectory time — pass ``states`` to check; the prun-style routing
+    still compile-probes the kernel.)"""
     from ..samplers.chees import ChEESHMC
     from ..samplers.hmc import HMC
     from ..samplers.hmcda import HMCDA
+    from ..samplers.nuts import NUTS
 
     model, s = task.model, task.sampler
     glm = getattr(model, "glm_spec", None) is not None
@@ -822,16 +883,20 @@ def continue_eligible(task):
     if isinstance(s, HMC):
         if s.store_leaps or s.integrator not in ok_integ:
             return False
-        if s._kind == "dense" and not glm:
-            return False  # dense fold: GLM kernels only
         return s._kind in (None, "diag", "diag-win", "dense")
     if isinstance(s, HMCDA):
-        if s._kind == "dense" and not glm:
-            return False  # dense fold: GLM kernels only
         return not s.store_leaps and s.integrator in ok_integ
     if isinstance(s, ChEESHMC):
         return (getattr(s, "_kind", None) in (None, "diag", "diag-win")
                 and s.integrator in ok_integ)
+    if type(s) is NUTS:
+        # NUTS continuations are fused only after a warm HANDOFF run: the
+        # frozen empirical T lives in the states (NUTSState.tlen > 0); a
+        # generic NUTS chain keeps its exact per-step U-turn rule
+        return (s.warm_handoff
+                and s._kind in (None, "diag", "diag-win", "dense")
+                and states is not None
+                and float(np.min(np.asarray(states.tlen))) > 0.0)
     return False
 
 
@@ -853,6 +918,7 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
     counts (the Halton index continues from ``states.i``, so successive
     segments extend one low-discrepancy sequence)."""
     from ..samplers.chees import ChEESHMC
+    from ..samplers.nuts import NUTS
     from .pallas_glm import LANE, _round_up, pad_chains
 
     if interpret is None:
@@ -861,6 +927,7 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
     d = model.size
     spec = getattr(model, "glm_spec", None)
     chees = isinstance(sampler, ChEESHMC)
+    nuts = type(sampler) is NUTS
     if chees:
         eps = float(np.median(np.asarray(states0.dual_leap_step)))
         T = float(np.exp(np.median(np.asarray(states0.log_len))))
@@ -868,6 +935,18 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
         s = _pool_mass(getattr(sampler, "_kind", None), states0)
         max_leaps = sampler.max_leaps
         extras = ("alpha", "epsilon", "nleaps")
+    elif nuts:
+        # warm-handoff NUTS: the frozen DA step and the empirical
+        # trajectory time carried in NUTSState.tlen (VERDICT r4 missing
+        # #5: these chains previously resumed on the generic engine)
+        eps = float(np.median(np.exp(np.asarray(states0.lebar))))
+        T = float(np.median(np.asarray(states0.tlen)))
+        assert T > 0.0, \
+            "NUTS fused continuation requires warm-handoff states (tlen)"
+        nl = None
+        s = _pool_mass(sampler._kind, states0)
+        max_leaps = 2 ** sampler.maxdoublings
+        extras = ("epsilon", "nleaps")
     else:
         # _freeze already pools the mass metric (its third return); shared
         # per-step length jitter around the frozen nl (phase-3 note)
@@ -885,8 +964,8 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
             spec, d, states0, s, tiled=big_n, tile_n=tile_n)
         kw = dict(d=d, max_leaps=max_leaps, interpret=interpret,
                   kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
-                  integrator=sampler.integrator)
-        if not chees:
+                  integrator=getattr(sampler, "integrator", "leapfrog"))
+        if not chees and not nuts:
             kw["extras"] = False
 
         def run_phase(th0, k, block, steps, i0):
@@ -901,17 +980,14 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
 
         fold_s = unfold_s = s
     else:
-        from .pallas_target import lifted_model_block
-
         d_pad = _round_up(d, LANE)
-        eps_in = _eps_row(eps, s, d, d_pad)
-        lifted = lifted_model_block(model)
-        assert lifted is not None, \
-            "model data exceeds the lifted-kernel budget (routing bug)"
-        logp_block, tconsts = lifted
+        logp_block, tconsts, dense_s = dense_target_setup(model, s)
+        eps_in = (jnp.float32(eps) if dense_s is not None
+                  else _eps_row(eps, s, d, d_pad))
         tkw = dict(d=d, max_leaps=max_leaps, interpret=interpret,
-                   integrator=sampler.integrator, consts=tconsts)
-        if not chees:
+                   integrator=getattr(sampler, "integrator", "leapfrog"),
+                   consts=tconsts)
+        if not chees and not nuts:
             tkw["extras"] = False
 
         def run_phase(th0, k, block, steps, i0):
@@ -920,9 +996,10 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
                                      block_chains=block, steps=steps,
                                      i0=i0, **tkw)
 
-        # target path: the metric rides the kernel's eps row — positions
-        # stay in theta-space, nothing to fold or unfold
-        fold_s = unfold_s = None
+        # target path: a diag metric rides the kernel's eps row (positions
+        # stay in theta-space); a dense metric folds through the z-space
+        # wrapper like the GLM pipeline
+        fold_s = unfold_s = dense_s
 
     def continue_fn(states, steps, key):
         theta0p = pad_chains(
@@ -939,6 +1016,14 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
             out = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
                 states, theta_model)
             out = out.replace(i=out.i + steps)
+        elif nuts:
+            out = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
+                states, theta_model)
+            dt = out.epsilon.dtype
+            out = out.replace(
+                epsilon=jnp.full((n_chains,), eps, dt),
+                lebar=jnp.full((n_chains,), np.log(eps), dt),
+                i=out.i + steps)
         else:
             out = _frozen_states(model, sampler, states, theta_model, eps,
                                  nl, steps)
@@ -1007,11 +1092,12 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
     max_leaps = 2 ** sampler.maxdoublings
 
     if spec is None:
-        # data-free custom target: metric rides the kernel's vec-eps row
-        (thetaF, lpF, gF), infos2 = _dyn_target_phase(
+        # data-free custom target: diag metric rides the kernel's vec-eps
+        # row; a dense metric folds through the z-space wrapper
+        (thetaF, lpF, gF), infos2, unfold_s = _dyn_target_phase(
             model, "leapfrog", eps, T, max_leaps, s, states_w, steps2,
             runner.burnin + 1, k_samp, n_chains, interpret, mesh)
-        infos2u, theta_model = _unfold(infos2, thetaF, None, d,
+        infos2u, theta_model = _unfold(infos2, thetaF, unfold_s, d,
                                        extra_keys=("epsilon", "nleaps"))
     else:
         from . import pallas_glm_bign as bn
@@ -1054,5 +1140,8 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
     states = states.replace(
         epsilon=jnp.full((n_chains,), eps, dt),
         lebar=jnp.full((n_chains,), np.log(eps), dt),
+        # carry the frozen empirical trajectory time so fused
+        # CONTINUATIONS can serve these chains (make_fused_continuation)
+        tlen=jnp.full((n_chains,), T, dt),
         i=states.i + steps2)
     return infos, states

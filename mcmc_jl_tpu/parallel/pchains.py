@@ -279,27 +279,14 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                             mat_prior=mat, dyn_len=True)
                     else:
                         # adaptive HMC/HMCDA/ChEES/NUTS-handoff on a
-                        # data-free custom target: the sampling phase runs
-                        # the fused target kernel (vec_eps = the frozen
-                        # diag-metric fold; dyn_len = the jittered-length
-                        # phases) — probe-guarded like every fused route
-                        from ..ops.glm_hmc import _pick_block
-                        from ..ops.pallas_glm import LANE, _round_up
-                        from ..ops.pallas_target import (
-                            lifted_model_block, target_kernel_supported)
+                        # bounded custom target: the sampling phase runs
+                        # the fused target kernel (vec-eps diag fold /
+                        # z-space dense wrapper / dyn-len jittered
+                        # lengths) — probe-guarded like every fused route
+                        from ..ops.warmstart import target_route_supported
 
-                        vec = getattr(t.sampler, "_kind", None) is not None
-                        lifted = lifted_model_block(t.model)
-                        use_warm = (lifted is not None
-                                    and target_kernel_supported(
-                                        lifted[0],
-                                        _round_up(t.model.size, LANE),
-                                        _pick_block(n),
-                                        integrator=getattr(
-                                            t.sampler, "integrator",
-                                            "leapfrog"),
-                                        vec_eps=vec, dyn_len=True,
-                                        consts=lifted[1]))
+                        use_warm = target_route_supported(
+                            t.model, t.sampler, n)
         if (use_fused or use_target or use_warm) and fused == "auto":
             import logging
 
@@ -389,12 +376,14 @@ def _package_group(t, runner, idxs, infos, final_states, key, results, t0,
         )
 
 
-def continuation_route(model, sampler, n, fused="auto"):
+def continuation_route(model, sampler, n, fused="auto", states=None):
     """Shared routing decision for frozen-state continuations
     (:func:`presume_serialmc`, :func:`mcmc_jl_tpu.runners.run_until`):
     True when the batch should continue through the fused kernels
     (``fused`` semantics as in :func:`prun_serialmc`; always
-    compile-probed on the auto path, budget-checked on the forced one)."""
+    compile-probed on the auto path, budget-checked on the forced one).
+    ``states`` enables the state-dependent eligibility checks (NUTS
+    handoff: frozen empirical T carried in NUTSState.tlen)."""
     import types
 
     from ..ops.warmstart import continue_eligible
@@ -402,7 +391,8 @@ def continuation_route(model, sampler, n, fused="auto"):
     if fused is False:
         return False
     if not continue_eligible(types.SimpleNamespace(model=model,
-                                                   sampler=sampler)):
+                                                   sampler=sampler),
+                             states=states):
         return False
     if fused is True:
         if model.glm_spec is not None:
@@ -424,19 +414,9 @@ def continuation_route(model, sampler, n, fused="auto"):
         return model_kernel_supported(
             model, sampler, n, vec_prior=kindm is not None and not mat,
             mat_prior=mat, dyn_len=True)
-    from ..ops.glm_hmc import _pick_block
-    from ..ops.pallas_glm import LANE, _round_up
-    from ..ops.pallas_target import (lifted_model_block,
-                                     target_kernel_supported)
+    from ..ops.warmstart import target_route_supported
 
-    lifted = lifted_model_block(model)
-    return (lifted is not None
-            and target_kernel_supported(
-                lifted[0], _round_up(model.size, LANE), _pick_block(n),
-                integrator=sampler.integrator,
-                vec_eps=kindm is not None,
-                dyn_len=True,
-                consts=lifted[1]))
+    return target_route_supported(model, sampler, n)
 
 
 def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
@@ -490,7 +470,8 @@ def presume_serialmc(chains, steps: int = 100, seed: int = 0, mesh=None,
         base = t.key if t.key is not None else jax.random.fold_in(key, gi)
         k_run = jax.random.fold_in(base, 7)
 
-        use_cont = continuation_route(t.model, t.sampler, n, fused)
+        use_cont = continuation_route(t.model, t.sampler, n, fused,
+                                      states=states)
         if use_cont:
             from ..ops.warmstart import fused_continue_chains
 

@@ -117,7 +117,8 @@ def run_until(model, sampler, n_chains=8, *, rhat_target=1.01, min_ess=400,
         blocks.append(np.asarray(infos["ppars"]))
         steps_run += check_every
         if use_cont is None and steps_run >= warmup:
-            use_cont = continuation_route(model, sampler, n_chains, fused)
+            use_cont = continuation_route(model, sampler, n_chains, fused,
+                                          states=states)
         x = np.concatenate(blocks, axis=0)
         keep = x[max(warmup, steps_run // 2):]
         if keep.shape[0] < 4:

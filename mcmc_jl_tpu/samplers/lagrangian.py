@@ -21,10 +21,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from jax.scipy.linalg import solve_triangular
+
 from .base import (
     EmpMCTuner, RunCtx, Sampler, TuneState, metropolis_accept,
     pytree_dataclass, tuner_init, tuner_update,
 )
+from .smmala import chol_inverse
 
 
 @pytree_dataclass
@@ -32,16 +35,24 @@ class LMCState:
     pars: jnp.ndarray
     logtarget: jnp.ndarray
     grad: jnp.ndarray
+    # full geometry at pars, carried across transitions (round 5): the
+    # reference recomputes inv/chol/Christoffel terms at the current point
+    # every step (ERMLMC.jl:74-84); they were already computed when this
+    # point was the proposal
     G: jnp.ndarray
-    dG: jnp.ndarray
+    invG: jnp.ndarray
+    cholG: jnp.ndarray
+    dphi: jnp.ndarray
+    C: jnp.ndarray
     tune: TuneState
     i: jnp.ndarray
 
 
 def _geometry(grad, G, dG):
-    """(invG, cholG, dphi, C) from the metric and its derivative."""
-    invG = jnp.linalg.inv(G)
+    """(invG, cholG, dphi, C) from the metric and its derivative (one
+    Cholesky; the inverse via triangular solves)."""
     cholG = jnp.linalg.cholesky(G)
+    invG = chol_inverse(cholG)
     traces = jnp.einsum("ab,baj->j", invG, dG)  # trace(invG dG_j)
     dphi = -grad + 0.5 * traces
     C = 0.5 * (
@@ -67,15 +78,19 @@ class _LagrangianBase(Sampler):
 
     def init(self, model, theta0, key):
         lp, g, G, dG = model.evalalldt(theta0)
+        invG, cholG, dphi, C = _geometry(g, G, dG)
         return LMCState(
-            pars=theta0, logtarget=lp, grad=g, G=G, dG=dG,
+            pars=theta0, logtarget=lp, grad=g, G=G, invG=invG, cholG=cholG,
+            dphi=dphi, C=C,
             tune=tuner_init(self.leap_step, self.n_leaps),
             i=jnp.asarray(1, dtype=jnp.int32),
         )
 
     def reset(self, model, state, theta):
         lp, g, G, dG = model.evalalldt(theta)
-        return state.replace(pars=theta, logtarget=lp, grad=g, G=G, dG=dG)
+        invG, cholG, dphi, C = _geometry(g, G, dG)
+        return state.replace(pars=theta, logtarget=lp, grad=g, G=G,
+                             invG=invG, cholG=cholG, dphi=dphi, C=C)
 
     def _energy_logdet_sign(self):
         raise NotImplementedError
@@ -94,11 +109,14 @@ class _LagrangianBase(Sampler):
             h = jnp.asarray(self.leap_step, dtype=dtype)
             nl = jnp.asarray(self.n_leaps, dtype=jnp.int32)
 
-        invG0, cholG0, dphi0, C0 = _geometry(state.grad, state.G, state.dG)
+        # geometry at the current point carried from the last accept
+        invG0, cholG0, dphi0, C0 = state.invG, state.cholG, state.dphi, state.C
         sgn = self._energy_logdet_sign()
 
-        # velocity ~ N(0, G^{-1}) (ERMLMC.jl:103)
-        v0 = jnp.linalg.cholesky(invG0) @ jax.random.normal(k_vel, (d,), dtype=dtype)
+        # velocity ~ N(0, G^{-1}) (ERMLMC.jl:103) via L^{-T} z
+        v0 = solve_triangular(
+            cholG0.T, jax.random.normal(k_vel, (d,), dtype=dtype),
+            lower=False)
         E0 = (
             -state.logtarget
             + sgn * jnp.sum(jnp.log(jnp.diagonal(cholG0)))
@@ -110,7 +128,7 @@ class _LagrangianBase(Sampler):
         ).astype(jnp.int32)
 
         def leap(j, carry):
-            (pars, lp, grad, G, dG, invG, dphi, C, v, dld) = carry
+            (pars, lp, grad, G, invG, cholG, dphi, C, v, dld) = carry
 
             v, dld = self._velocity_update(model, (G, invG, dphi, C, v), dld, h)
 
@@ -130,17 +148,16 @@ class _LagrangianBase(Sampler):
             else:  # RMLMC (RMLMC.jl:145-152)
                 dld = dld + _slogdet(G - h * vxc)
                 v = v - (0.5 * h) * invG @ (vxc @ v + dphi)
-            return (pars, lp, grad, G, dG, invG, dphi, C, v, dld)
+            return (pars, lp, grad, G, invG, cholG, dphi, C, v, dld)
 
         init = (
-            state.pars, state.logtarget, state.grad, state.G, state.dG,
-            invG0, dphi0, C0, v0, jnp.asarray(0.0, dtype=dtype),
+            state.pars, state.logtarget, state.grad, state.G,
+            invG0, cholG0, dphi0, C0, v0, jnp.asarray(0.0, dtype=dtype),
         )
-        (pars, lp, grad, G, dG, invG, dphi, C, v, dld) = jax.lax.fori_loop(
+        (pars, lp, grad, G, invG, cholG, dphi, C, v, dld) = jax.lax.fori_loop(
             0, n_rand, leap, init
         )
 
-        cholG = jnp.linalg.cholesky(G)
         pE = -lp + sgn * jnp.sum(jnp.log(jnp.diagonal(cholG))) + 0.5 * v @ G @ v
         ratio = E0 - pE + dld
         accept = metropolis_accept(k_acc, ratio)
@@ -149,7 +166,10 @@ class _LagrangianBase(Sampler):
         new_lp = jnp.where(accept, lp, state.logtarget)
         new_grad = jnp.where(accept, grad, state.grad)
         new_G = jnp.where(accept, G, state.G)
-        new_dG = jnp.where(accept, dG, state.dG)
+        new_invG = jnp.where(accept, invG, state.invG)
+        new_cholG = jnp.where(accept, cholG, state.cholG)
+        new_dphi = jnp.where(accept, dphi, state.dphi)
+        new_C = jnp.where(accept, C, state.C)
 
         tune = tuner_update(self.tuner, state.tune, state.i, accept, ctx.burnin,
                             with_leaps=True)
@@ -165,7 +185,8 @@ class _LagrangianBase(Sampler):
         }
         return (
             LMCState(pars=new_pars, logtarget=new_lp, grad=new_grad, G=new_G,
-                     dG=new_dG, tune=tune, i=state.i + 1),
+                     invG=new_invG, cholG=new_cholG, dphi=new_dphi, C=new_C,
+                     tune=tune, i=state.i + 1),
             info,
         )
 

@@ -53,6 +53,11 @@ class NUTSState:
     mu: jnp.ndarray
     hbar: jnp.ndarray
     lebar: jnp.ndarray
+    #: frozen empirical trajectory TIME of a warm handoff (0.0 = no handoff
+    #: has run): the dyn-length kernel's T, carried so fused CONTINUATIONS
+    #: can serve NUTS like the other HMC-family samplers (VERDICT r4
+    #: missing #5; set by ops/warmstart.warmfused_nuts_chains)
+    tlen: jnp.ndarray
     i: jnp.ndarray
     # Mass-warmup accumulators (massadapt.py): continuous diagonal Welford
     # (True/"diag"), Stan-style windowed diagonal ("diag-win"), or windowed
@@ -131,6 +136,7 @@ class NUTS(Sampler):
             epsilon=eps, mu=jnp.log(10.0 * eps),
             hbar=jnp.asarray(0.0, dtype=theta0.dtype),
             lebar=jnp.asarray(0.0, dtype=theta0.dtype),
+            tlen=jnp.asarray(0.0, dtype=theta0.dtype),
             i=jnp.asarray(1, dtype=jnp.int32),
             mass=mass_init(self._kind, theta0.shape[0], theta0.dtype,
                            scale0=model.scale),
@@ -423,7 +429,7 @@ class NUTS(Sampler):
             NUTSState(
                 pars=new_pars, logtarget=new_lp, grad=new_grad,
                 epsilon=new_eps, mu=state.mu, hbar=new_hbar, lebar=new_lebar,
-                i=state.i + 1, mass=mass,
+                tlen=state.tlen, i=state.i + 1, mass=mass,
             ),
             info,
         )

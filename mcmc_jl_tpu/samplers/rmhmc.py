@@ -21,6 +21,7 @@ from .base import (
     EmpMCTuner, RunCtx, Sampler, TuneState, metropolis_accept,
     pytree_dataclass, tuner_init, tuner_update,
 )
+from .smmala import chol_inverse
 
 
 @pytree_dataclass
@@ -28,6 +29,11 @@ class RMHMCState:
     pars: jnp.ndarray
     logtarget: jnp.ndarray
     grad: jnp.ndarray
+    # metric at pars, carried across transitions (round 5): the reference
+    # re-evaluates the tensor at the current point every step
+    # (RMHMC.jl:104-107); it was already computed when this point was the
+    # proposal, so carrying it saves one evalt per transition
+    G: jnp.ndarray
     tune: TuneState
     i: jnp.ndarray
 
@@ -88,16 +94,16 @@ class RMHMC(Sampler):
         object.__setattr__(self, "tuner", tuner)
 
     def init(self, model, theta0, key):
-        lp, g = model.evalallg(theta0)
+        lp, g, G = model.evalallt(theta0)
         return RMHMCState(
-            pars=theta0, logtarget=lp, grad=g,
+            pars=theta0, logtarget=lp, grad=g, G=G,
             tune=tuner_init(self.leap_step, self.n_leaps),
             i=jnp.asarray(1, dtype=jnp.int32),
         )
 
     def reset(self, model, state, theta):
-        lp, g = model.evalallg(theta)
-        return state.replace(pars=theta, logtarget=lp, grad=g)
+        lp, g, G = model.evalallt(theta)
+        return state.replace(pars=theta, logtarget=lp, grad=g, G=G)
 
     def step(self, model, ctx: RunCtx, state, key):
         k_mom, k_dir, k_len, k_acc = jax.random.split(key, 4)
@@ -110,9 +116,9 @@ class RMHMC(Sampler):
             eps = jnp.asarray(self.leap_step, dtype=dtype)
             nl = jnp.asarray(self.n_leaps, dtype=jnp.int32)
 
-        G0 = model.evalt(state.pars)
-        invG0 = jnp.linalg.inv(G0)
+        G0 = state.G  # carried from the last accept (see RMHMCState)
         cholG0 = jnp.linalg.cholesky(G0)
+        invG0 = chol_inverse(cholG0)
         m0 = cholG0 @ jax.random.normal(k_mom, (d,), dtype=dtype)
         # log det term spelled as in RMHMC.jl:107 (constant cancels in ratio)
         logdet_term0 = 0.5 * (
@@ -153,7 +159,7 @@ class RMHMC(Sampler):
 
             # refresh metric and finish momentum step (RMHMC.jl:143-156)
             G = model.evalt(pars)
-            invG = jnp.linalg.inv(G)
+            invG = chol_inverse(jnp.linalg.cholesky(G))
             dG = model.evaldt(pars)
             invGxdG, traces = _metric_pack(invG, dG)
             invG_m = invG @ m
@@ -181,6 +187,7 @@ class RMHMC(Sampler):
         new_pars = jnp.where(accept, pars, state.pars)
         new_lp = jnp.where(accept, plp, state.logtarget)
         new_grad = jnp.where(accept, pgrad, state.grad)
+        new_G = jnp.where(accept, G, G0)
 
         tune = tuner_update(self.tuner, state.tune, state.i, accept, ctx.burnin,
                             with_leaps=True)
@@ -195,7 +202,7 @@ class RMHMC(Sampler):
             "accept": accept,
         }
         return (
-            RMHMCState(pars=new_pars, logtarget=new_lp, grad=new_grad, tune=tune,
-                       i=state.i + 1),
+            RMHMCState(pars=new_pars, logtarget=new_lp, grad=new_grad,
+                       G=new_G, tune=tune, i=state.i + 1),
             info,
         )
