@@ -76,15 +76,31 @@ def _col(buf, idx, width):
 def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
                  unit_prior, vec_prior=False, mat_prior=False,
                  multinomial=False, n_leaf_cols=0):
+    """Kernel body.  ALL mutable per-chain state lives in VMEM *scratch
+    refs*, and the two while loops carry only scalar counters + a scalar
+    continue flag: a vector loop CARRY that is both read into another
+    carry and data-dependently updated hits an unimplemented Mosaic
+    relayout ("Not implemented: Lane broadcast", bisected on v5e) —
+    explicit scratch state sidesteps the carry lowering entirely.
+    Per-chain scalars ride (blk, LANE) scratch rows (lane 0 meaningful),
+    per-chain vectors (blk, d_pad) rows."""
     it = iter(refs)
     eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
     w_ref = next(it) if use_w else None
     o_ref = next(it) if use_o else None
     (theta_ref, lp_ref, grad_ref, m0_ref, logu_ref, dirn_ref, merge_ref,
      leaf_ref) = (next(it) for _ in range(8))
-    theta_out, grad_out, lp_out, nd_out, div_out = list(it)
-
+    theta_out, grad_out, lp_out, nd_out, div_out = (next(it)
+                                                    for _ in range(5))
+    # scratch: outer tree state, proposal, flags, subtree walker, stacks
+    (zp_p, zp_m, zp_g, zm_p, zm_m, zm_g, zp_lp, zm_lp,
+     pp_p, pp_g, pp_lp, sf, ntot, lwtot, ndr, dvr,
+     wk_p, wk_m, wk_g, wk_lp, sp_p, sp_g, sp_lp,
+     snr, slw, sdv, sok) = (next(it) for _ in range(27))
     md = maxdoublings
+    stacks = [next(it) for _ in range(2 * md)]
+    ck_p, ck_m = stacks[:md], stacks[md:]
+
     eps = eps_ref[0, 0]
     lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
@@ -97,6 +113,7 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
     lp0 = lp_ref[:][:, 0:1]                     # (blk, 1)
     m0 = m0_ref[:]                              # pre-masked momenta
     blk, d_pad = theta0.shape
+    dt = theta0.dtype
 
     H0 = -lp0 + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
     logu = logu_ref[:][:, 0:1]
@@ -110,81 +127,110 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
     leaf_all = leaf_ref[:]                      # (blk, n_leaf_cols)
 
     zeros = jnp.zeros_like(theta0)
-    neg_inf = jnp.full((blk, 1), -jnp.inf, theta0.dtype)
+    neg_inf = jnp.full((blk, 1), -jnp.inf, dt)
 
-    def leaf_step(z, eps_signed):
-        """One leapfrog from z = (pars, m, lp, grad) with per-chain signed
-        eps; returns the new state (HMC.jl:93-102 update order)."""
-        pars, m, lp, g = z
-        m = m + 0.5 * eps_signed * g
-        pars = pars + eps_signed * m
+    def scal(ref):                              # (blk, 1) view of a scalar
+        return ref[:][:, 0:1]
+
+    def setscal(ref, v):                        # write a (blk, 1) scalar
+        ref[:] = jnp.broadcast_to(v, (blk, LANE))
+
+    def bcd(v):                                 # (blk, 1) -> (blk, d_pad)
+        return jnp.broadcast_to(v, (blk, d_pad))
+
+    def leaf_step(pars, m, lp, g, esw):
+        """One leapfrog with the per-chain signed eps pre-broadcast to
+        full lane width (HMC.jl:93-102 update order)."""
+        m = m + 0.5 * esw * g
+        pars = pars + esw * m
         lp, g = logp_grad(pars)
-        m = m + 0.5 * eps_signed * g
+        m = m + 0.5 * esw * g
         return pars, m, lp, g
 
-    def build_subtree(edge, eps_signed, dirn, n_leaves, j, prop, n, lw):
-        """Lockstep subtree build of ``n_leaves`` leaves from the per-chain
-        edge states.  Returns (z_end, prop, n, lw, ok, div).  ``prop`` only
-        seeds the reservoir registers — with n=0 / lw=-inf the first valid
-        leaf always takes, and a subtree with NO valid leaf is never merged
-        (n1=0 / ok=False), so the seed value cannot leak."""
-        ckpt_pars = [zeros for _ in range(md)]
-        ckpt_m = [zeros for _ in range(md)]
-        pars, m, lp, g = edge
-        prop_pars, prop_lp, prop_grad = prop
+    # ---- init scratch ---------------------------------------------------
+    for r, v in ((zp_p, theta0), (zp_m, m0), (zp_g, g0),
+                 (zm_p, theta0), (zm_m, m0), (zm_g, g0),
+                 (pp_p, theta0), (pp_g, g0)):
+        r[:] = v
+    setscal(zp_lp, lp0)
+    setscal(zm_lp, lp0)
+    setscal(pp_lp, lp0)
+    setscal(sf, jnp.ones((blk, 1), dt))
+    setscal(ntot, jnp.ones((blk, 1), dt))       # n: the initial point
+    setscal(lwtot, jnp.zeros((blk, 1), dt))     # lw: exp(H0 - H0)
+    setscal(ndr, jnp.zeros((blk, 1), dt))
+    setscal(dvr, jnp.zeros((blk, 1), dt))
+
+    def subtree(eps_signed, dirn, n_leaves, j):
+        """Lockstep subtree build of ``n_leaves`` leaves from the walker
+        state in (wk_*); reservoir/counters in (sp_*, snr, slw, sdv, sok)
+        scratch.  The seeds (n=0 / lw=-inf) guarantee the first valid leaf
+        always takes, so the proposal seed value cannot leak."""
+        esw = bcd(eps_signed)
+        dirnw = bcd(dirn)
+        for i in range(md):
+            ck_p[i][:] = zeros
+            ck_m[i][:] = zeros
+        setscal(snr, jnp.zeros((blk, 1), dt))
+        setscal(slw, neg_inf)
+        setscal(sdv, jnp.zeros((blk, 1), dt))
+        setscal(sok, jnp.ones((blk, 1), dt))
 
         def cond(c):
-            return (c[0] < n_leaves) & jnp.any(c[12] > 0)
+            return (c[0] < n_leaves) & c[1]
 
         def body(c):
-            (k, pars, m, lp, g, prop_pars, prop_lp, prop_grad, n, lw,
-             divacc, turned_dead, ok_f, *stacks) = c
-            ckpt_pars = list(stacks[:md])
-            ckpt_m = list(stacks[md:])
-            run = ok_f > 0                                  # (blk, 1) bool
-            runw = jnp.broadcast_to(run, (blk, d_pad))
+            k = c[0]
+            run = scal(sok) > 0                             # (blk, 1) bool
+            runw = bcd(run)
+            pars, m, g = wk_p[:], wk_m[:], wk_g[:]
+            lp = scal(wk_lp)
 
-            n_pars, n_m, n_lp, n_g = leaf_step((pars, m, lp, g), eps_signed)
+            n_pars, n_m, n_lp, n_g = leaf_step(pars, m, lp, g, esw)
             pars = jnp.where(runw, n_pars, pars)
             m = jnp.where(runw, n_m, m)
             lp = jnp.where(run, n_lp, lp)
             g = jnp.where(runw, n_g, g)
+            wk_p[:] = pars
+            wk_m[:] = m
+            wk_g[:] = g
+            setscal(wk_lp, lp)
 
             H = -lp + 0.5 * jnp.sum(m * m, axis=1, keepdims=True)
             H = jnp.where(jnp.isnan(H), jnp.inf, H)
             diverged = u_slice >= DELTAMAX - H              # NUTS.jl:92
             leaf_ok = ~diverged
 
-            # reservoir proposal update (uniform over slice-valid leaves ==
-            # the recursive n2/(n1+n2) merge; Boltzmann weights for the
-            # multinomial variant)
-            # per-leaf reservoir uniform, indexed by the transition-global
-            # leaf number (2^j - 1 leaves were consumed by doublings < j)
+            # reservoir proposal update, indexed by the transition-global
+            # leaf number (2^j - 1 leaves consumed by doublings < j);
+            # uniform over slice-valid leaves == the recursive n2/(n1+n2)
+            # merge; Boltzmann weights for the multinomial variant
             u_leaf = _col(leaf_all, (1 << j) - 1 + k, n_leaf_cols)
+            n = scal(snr)
+            lw = scal(slw)
             if multinomial:
                 leaf_valid = leaf_ok
                 lw_leaf = jnp.where(diverged, neg_inf, H0 - H)
                 lw_new = jnp.logaddexp(lw, lw_leaf)
                 take = run & leaf_ok & (jnp.log(u_leaf) < lw_leaf - lw_new)
-                lw = jnp.where(run, lw_new, lw)
+                setscal(slw, jnp.where(run, lw_new, lw))
             else:
                 leaf_valid = u_slice <= -H                  # NUTS.jl:91
-                nf = (n + leaf_valid.astype(jnp.int32)).astype(theta0.dtype)
+                nf = n + jnp.where(leaf_valid, 1.0, 0.0)
                 take = run & leaf_valid & (u_leaf * nf < 1.0)
-            n = n + jnp.where(run & leaf_valid, 1, 0)
-            takew = jnp.broadcast_to(take, (blk, d_pad))
-            prop_pars = jnp.where(takew, pars, prop_pars)
-            prop_lp = jnp.where(take, lp, prop_lp)
-            prop_grad = jnp.where(takew, g, prop_grad)
+            setscal(snr, n + jnp.where(run & leaf_valid, 1.0, 0.0))
+            takew = bcd(take)
+            sp_p[:] = jnp.where(takew, pars, sp_p[:])
+            sp_g[:] = jnp.where(takew, g, sp_g[:])
+            setscal(sp_lp, jnp.where(take, lp, scal(sp_lp)))
 
             # checkpoint store at even k, slot popcount(k) (shared scalar)
             is_even = (k % 2) == 0
             slot = _popcount_bits(k, md + 1)
             for i in range(md):
-                mask = jnp.broadcast_to(run & (is_even & (slot == i)),
-                                        (blk, d_pad))
-                ckpt_pars[i] = jnp.where(mask, pars, ckpt_pars[i])
-                ckpt_m[i] = jnp.where(mask, m, ckpt_m[i])
+                mask = bcd(run & (is_even & (slot == i)))
+                ck_p[i][:] = jnp.where(mask, pars, ck_p[i][:])
+                ck_m[i][:] = jnp.where(mask, m, ck_m[i][:])
 
             # u-turn spans ending at odd k (NUTS.jl:50): slots
             # popcount(k>>1)-trailing_ones(k)+1 .. popcount(k>>1)
@@ -194,113 +240,93 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
             turned = jnp.zeros((blk, 1), jnp.bool_)
             for i in range(md):
                 act = is_odd & (i >= idx_min) & (i <= idx_max)
-                delta = dirn * (pars - ckpt_pars[i])
-                ti = (jnp.sum(delta * ckpt_m[i], axis=1, keepdims=True) < 0) \
+                delta = dirnw * (pars - ck_p[i][:])
+                ti = (jnp.sum(delta * ck_m[i][:], axis=1,
+                              keepdims=True) < 0) \
                     | (jnp.sum(delta * m, axis=1, keepdims=True) < 0)
                 turned = turned | (act & ti)
 
-            divacc = divacc | (run & diverged)
-            turned_dead = turned_dead | (run & turned)
-            ok_f = jnp.where(run & (diverged | turned), 0.0, ok_f)
-            return (k + 1, pars, m, lp, g, prop_pars, prop_lp, prop_grad,
-                    n, lw, divacc, turned_dead, ok_f, *ckpt_pars, *ckpt_m)
+            setscal(sdv, jnp.maximum(scal(sdv),
+                                     jnp.where(run & diverged, 1.0, 0.0)))
+            ok_new = jnp.where(run & (diverged | turned), 0.0, scal(sok))
+            setscal(sok, ok_new)
+            return k + 1, (k + 1 < n_leaves) & jnp.any(ok_new > 0)
 
-        ok_f0 = jnp.ones((blk, 1), theta0.dtype)
-        false1 = jnp.zeros((blk, 1), jnp.bool_)
-        init = (jnp.asarray(0, jnp.int32), pars, m, lp, g,
-                prop_pars, prop_lp, prop_grad, n, lw, false1, false1, ok_f0,
-                *ckpt_pars, *ckpt_m)
-        out = jax.lax.while_loop(cond, body, init)
-        (k, pars, m, lp, g, prop_pars, prop_lp, prop_grad, n, lw,
-         divacc, turned_dead, ok_f) = out[:13]
-        return ((pars, m, lp, g), (prop_pars, prop_lp, prop_grad), n, lw,
-                ok_f > 0, divacc)
+        jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
+                                        n_leaves > 0))
 
     # ---- outer doubling loop --------------------------------------------
-    z0 = (theta0, m0, lp0, g0)
-
     def outer_cond(c):
-        j = c[0]
-        s = c[1]
-        return (j < md) & jnp.any(s)
+        return (c[0] < md) & c[1]
 
     def outer_body(c):
-        (j, s, n_tot, lw_tot, nd, div,
-         zp_pars, zp_m, zp_lp, zp_g, zm_pars, zm_m, zm_lp, zm_g,
-         prop_pars, prop_lp, prop_grad) = c
-        sw = jnp.broadcast_to(s, (blk, d_pad))
+        j = c[0]
+        s = scal(sf) > 0
 
         dirn = _col(dirn_all, j, LANE)                       # (blk,1) +-1
         go_fwd = dirn > 0
-        gw = jnp.broadcast_to(go_fwd, (blk, d_pad))
-        e_pars = jnp.where(gw, zp_pars, zm_pars)
-        e_m = jnp.where(gw, zp_m, zm_m)
-        e_lp = jnp.where(go_fwd, zp_lp, zm_lp)
-        e_g = jnp.where(gw, zp_g, zm_g)
+        gw = bcd(go_fwd)
+        wk_p[:] = jnp.where(gw, zp_p[:], zm_p[:])
+        wk_m[:] = jnp.where(gw, zp_m[:], zm_m[:])
+        wk_g[:] = jnp.where(gw, zp_g[:], zm_g[:])
+        setscal(wk_lp, jnp.where(go_fwd, scal(zp_lp), scal(zm_lp)))
+        # proposal seed (never leaks: see subtree docstring)
+        sp_p[:] = wk_p[:]
+        sp_g[:] = wk_g[:]
+        setscal(sp_lp, scal(wk_lp))
 
         n_leaves = jnp.asarray(1, jnp.int32) << j
-        sub_n0 = jnp.zeros((blk, 1), jnp.int32)
-        sub_lw0 = neg_inf
-        (z_end, prop1, n1, lw1, ok1, div1) = build_subtree(
-            (e_pars, e_m, e_lp, e_g), eps * dirn, dirn, n_leaves, j,
-            (prop_pars, prop_lp, prop_grad), sub_n0, sub_lw0)
-        ep_pars, ep_m, ep_lp, ep_g = z_end
+        subtree(eps * dirn, dirn, n_leaves, j)
+        ok1 = scal(sok) > 0
+        n1 = scal(snr)
+        lw1 = scal(slw)
 
-        upd_p = jnp.broadcast_to(s & go_fwd, (blk, d_pad))
-        upd_m = jnp.broadcast_to(s & ~go_fwd, (blk, d_pad))
-        zp_pars = jnp.where(upd_p, ep_pars, zp_pars)
-        zp_m = jnp.where(upd_p, ep_m, zp_m)
-        zp_lp = jnp.where(s & go_fwd, ep_lp, zp_lp)
-        zp_g = jnp.where(upd_p, ep_g, zp_g)
-        zm_pars = jnp.where(upd_m, ep_pars, zm_pars)
-        zm_m = jnp.where(upd_m, ep_m, zm_m)
-        zm_lp = jnp.where(s & ~go_fwd, ep_lp, zm_lp)
-        zm_g = jnp.where(upd_m, ep_g, zm_g)
+        upd_p = bcd(s & go_fwd)
+        upd_m = bcd(s & ~go_fwd)
+        zp_p[:] = jnp.where(upd_p, wk_p[:], zp_p[:])
+        zp_m[:] = jnp.where(upd_p, wk_m[:], zp_m[:])
+        zp_g[:] = jnp.where(upd_p, wk_g[:], zp_g[:])
+        setscal(zp_lp, jnp.where(s & go_fwd, scal(wk_lp), scal(zp_lp)))
+        zm_p[:] = jnp.where(upd_m, wk_p[:], zm_p[:])
+        zm_m[:] = jnp.where(upd_m, wk_m[:], zm_m[:])
+        zm_g[:] = jnp.where(upd_m, wk_g[:], zm_g[:])
+        setscal(zm_lp, jnp.where(s & ~go_fwd, scal(wk_lp), scal(zm_lp)))
 
         # outer merge: accept subtree proposal (NUTS.jl:160 / biased
         # progressive for multinomial)
         u = _col(merge_all, j, LANE)
-        p1_pars, p1_lp, p1_grad = prop1
         if multinomial:
+            lw_tot = scal(lwtot)
             take = s & ok1 & (jnp.log(u) < lw1 - lw_tot)
-            lw_tot = jnp.where(s & ok1, jnp.logaddexp(lw_tot, lw1), lw_tot)
+            setscal(lwtot, jnp.where(s & ok1,
+                                     jnp.logaddexp(lw_tot, lw1), lw_tot))
         else:
-            take = s & ok1 & (
-                u * n_tot.astype(theta0.dtype) < n1.astype(theta0.dtype))
-        takew = jnp.broadcast_to(take, (blk, d_pad))
-        prop_pars = jnp.where(takew, p1_pars, prop_pars)
-        prop_lp = jnp.where(take, p1_lp, prop_lp)
-        prop_grad = jnp.where(takew, p1_grad, prop_grad)
-        n_tot = n_tot + jnp.where(s, n1, 0)
+            take = s & ok1 & (u * scal(ntot) < n1)
+        takew = bcd(take)
+        pp_p[:] = jnp.where(takew, sp_p[:], pp_p[:])
+        pp_g[:] = jnp.where(takew, sp_g[:], pp_g[:])
+        setscal(pp_lp, jnp.where(take, scal(sp_lp), scal(pp_lp)))
+        setscal(ntot, scal(ntot) + jnp.where(s, n1, 0.0))
 
         # overall u-turn between extreme states (NUTS.jl:165)
-        dpars = zp_pars - zm_pars
-        turned = (jnp.sum(dpars * zm_m, axis=1, keepdims=True) < 0) | (
-            jnp.sum(dpars * zp_m, axis=1, keepdims=True) < 0)
-        nd = nd + jnp.where(s, 1, 0)
-        div = div | (s & div1)
-        s = s & ok1 & ~turned
-        return (j + 1, s, n_tot, lw_tot, nd, div,
-                zp_pars, zp_m, zp_lp, zp_g, zm_pars, zm_m, zm_lp, zm_g,
-                prop_pars, prop_lp, prop_grad)
+        dpars = zp_p[:] - zm_p[:]
+        turned = (jnp.sum(dpars * zm_m[:], axis=1, keepdims=True) < 0) | (
+            jnp.sum(dpars * zp_m[:], axis=1, keepdims=True) < 0)
+        setscal(ndr, scal(ndr) + jnp.where(s, 1.0, 0.0))
+        setscal(dvr, jnp.maximum(scal(dvr),
+                                 jnp.where(s, scal(sdv), 0.0)))
+        s_new = jnp.where(s & ok1 & ~turned, 1.0, 0.0).astype(dt)
+        setscal(sf, s_new)
+        return j + 1, (j + 1 < md) & jnp.any(s_new > 0)
 
-    true1 = jnp.ones((blk, 1), jnp.bool_)
-    false1 = jnp.zeros((blk, 1), jnp.bool_)
-    init = (jnp.asarray(0, jnp.int32), true1,
-            jnp.ones((blk, 1), jnp.int32),            # n: initial point
-            jnp.zeros((blk, 1), theta0.dtype),        # lw: exp(H0-H0)
-            jnp.zeros((blk, 1), jnp.int32), false1,
-            theta0, m0, lp0, g0, theta0, m0, lp0, g0,
-            theta0, lp0, g0)
-    out = jax.lax.while_loop(outer_cond, outer_body, init)
-    nd, div = out[4], out[5]
-    prop_pars, prop_lp, prop_grad = out[14], out[15], out[16]
+    jax.lax.while_loop(outer_cond, outer_body,
+                       (jnp.asarray(0, jnp.int32), jnp.asarray(True)))
 
-    theta_out[:] = prop_pars
-    grad_out[:] = prop_grad
-    lp_out[:] = jnp.broadcast_to(prop_lp, lp_out.shape)
-    nd_out[:] = jnp.broadcast_to(nd.astype(theta0.dtype), nd_out.shape)
-    div_out[:] = jnp.broadcast_to(div.astype(theta0.dtype), div_out.shape)
+    theta_out[:] = pp_p[:]
+    grad_out[:] = pp_g[:]
+    lp_out[:] = jnp.broadcast_to(scal(pp_lp), lp_out.shape)
+    nd_out[:] = jnp.broadcast_to(scal(ndr), nd_out.shape)
+    div_out[:] = jnp.broadcast_to(scal(dvr), div_out.shape)
 
 
 @functools.partial(
@@ -349,6 +375,20 @@ def _transition_inner(XT, Y, theta, lp, grad, eps, m0, logu, dirn, merge_u,
     lp_w = jnp.broadcast_to(jnp.reshape(lp, (C, 1)), (C, LANE))
     logu_w = jnp.broadcast_to(jnp.reshape(logu, (C, 1)), (C, LANE))
 
+    # scratch layout mirrors the kernel's unpack order: per-chain VECTORS
+    # as (blk, d_pad) rows, per-chain SCALARS as (blk, LANE) rows (lane 0)
+    from jax.experimental.pallas import tpu as _pltpu
+
+    vec = _pltpu.VMEM((blk, d_pad), jnp.float32)
+    row = _pltpu.VMEM((blk, LANE), jnp.float32)
+    scratch = [vec, vec, vec, vec, vec, vec, row, row,    # z+/z- state
+               vec, vec, row,                             # proposal
+               row, row, row, row, row,                   # sf/ntot/lw/nd/dv
+               vec, vec, vec, row,                        # subtree walker
+               vec, vec, row,                             # subtree proposal
+               row, row, row, row]                        # sn/slw/sdv/sok
+    scratch += [vec] * (2 * maxdoublings)                 # ckpt stacks
+
     inputs = [eps2, lam_in, XT, Y]
     in_specs = [smem_spec, lam_spec,
                 pl.BlockSpec((d_pad, N), lambda i: (0, 0),
@@ -383,6 +423,7 @@ def _transition_inner(XT, Y, theta, lp, grad, eps, m0, logu, dirn, merge_u,
             jax.ShapeDtypeStruct((C, LANE), theta.dtype),
             jax.ShapeDtypeStruct((C, LANE), theta.dtype),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
     theta, grad, lp, nd, div = out

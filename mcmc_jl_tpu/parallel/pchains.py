@@ -266,7 +266,17 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                         use_warm = lifted_model_block(t.model) is not None
                 elif (fused == "auto" and jax.default_backend() == "tpu"
                       and not jax.config.jax_enable_x64):
-                    if getattr(t.model, "glm_spec", None) is not None:
+                    from ..samplers.nuts import NUTS as _NUTS
+
+                    if (type(t.sampler) is _NUTS
+                            and not t.sampler.warm_handoff):
+                        # exact NUTS on a GLM: probe the fused tree-build
+                        # kernel (ops/pallas_nuts.py)
+                        from ..ops.warmstart import nuts_exact_route_supported
+
+                        use_warm = nuts_exact_route_supported(
+                            t.model, t.sampler, n)
+                    elif getattr(t.model, "glm_spec", None) is not None:
                         from ..ops.glm_hmc import model_kernel_supported
 
                         kindm = getattr(t.sampler, "_kind", None)
@@ -404,6 +414,15 @@ def continuation_route(model, sampler, n, fused="auto", states=None):
     if not (fused == "auto" and jax.default_backend() == "tpu"
             and not jax.config.jax_enable_x64):
         return False
+    from ..samplers.nuts import NUTS as _NUTS
+
+    if (type(sampler) is _NUTS
+            and not (sampler.warm_handoff and states is not None
+                     and float(np.min(np.asarray(states.tlen))) > 0.0)):
+        # exact NUTS continuation: probe the fused tree-build kernel
+        from ..ops.warmstart import nuts_exact_route_supported
+
+        return nuts_exact_route_supported(model, sampler, n)
     kindm = getattr(sampler, "_kind", None)
     mat = kindm == "dense"
     # every fused continuation runs a dyn-len driver (shared per-step
