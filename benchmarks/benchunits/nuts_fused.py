@@ -99,10 +99,11 @@ def run():
 
         # --- EXACT fused NUTS (same sampler, fused tree kernel) ----------
         def run_exact(seed=0):
-            infos, _ = warmfused_nuts_exact_chains(
+            infos, states = warmfused_nuts_exact_chains(
                 model, s_gen, runner, C, key=jax.random.PRNGKey(seed),
                 interpret=not on_tpu)
             store["exact"] = infos
+            store["states"] = states
             return fetch(infos)
 
         dt = time_run(run_exact)
@@ -132,4 +133,38 @@ def run():
                     "ess/s"))
         out.append((f"nuts x{C}: handoff vs EXACT fused (ESS/s ratio)",
                     essps_ho / max(essps_exact, 1e-12), "x"))
+
+        # --- sampling-PHASE-only rates: frozen states, generic vs fused
+        # tree kernel (the end-to-end rows above dilute the fused phase
+        # with the shared generic warmup)
+        states = store["states"]
+
+        class _Blk:  # continuation shim: no further adaptation fires
+            len = kept
+            burnin = 0
+            thinning = 1
+
+        def run_phase_gen(seed=0):
+            infos, _, _ = run_chains(model, s_gen, _Blk, C,
+                                     key=jax.random.PRNGKey(seed),
+                                     states=states)
+            return fetch(infos)
+
+        dt_pg = time_run(run_phase_gen)
+        out.append((f"nuts x{C}: PHASE generic transitions/s",
+                    C * kept / dt_pg, "trans/s"))
+
+        from mcmc_jl_tpu.ops.warmstart import fused_continue_chains
+
+        def run_phase_fused(seed=0):
+            infos, _ = fused_continue_chains(
+                model, s_gen, states, kept, jax.random.PRNGKey(seed),
+                interpret=not on_tpu)
+            return fetch(infos)
+
+        dt_pf = time_run(run_phase_fused)
+        out.append((f"nuts x{C}: PHASE fused transitions/s",
+                    C * kept / dt_pf, "trans/s"))
+        out.append((f"nuts x{C}: PHASE fused vs generic (rate ratio)",
+                    dt_pg / dt_pf, "x"))
     return out

