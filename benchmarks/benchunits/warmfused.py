@@ -172,6 +172,27 @@ def run():
                 "ratio)",
                 (C * cont_steps / dt_cont) / (C * steps / dt_plain), "x"))
 
+    # AMORTIZED continuation (what run_until actually executes): the
+    # freeze + fold + design upload happen ONCE in
+    # make_fused_continuation; segments then reuse the staged inputs.
+    # The one-shot rows above re-pay that host/tunnel work every call —
+    # round 4's 0.44x ratio was mostly that, not kernel throughput.
+    from mcmc_jl_tpu.ops.warmstart import make_fused_continuation
+
+    cont_fn = make_fused_continuation(model, sampler_ad, states_w,
+                                      interpret=not on_tpu)
+
+    def run_cont_amortized(seed=0):
+        infos, _ = cont_fn(states_w, cont_steps, jax.random.PRNGKey(seed))
+        return fetch(infos)
+
+    dt_cam = time_run(run_cont_amortized)
+    rate_cam = C * cont_steps * nl_frozen / dt_cam
+    out.append(("warmfused: AMORTIZED resume/continuation leapfrog/s",
+                rate_cam, "leapfrog/s"))
+    out.append(("warmfused: AMORTIZED resume vs plain fused (rate ratio)",
+                rate_cam / max(rate_plain, 1e-12), "x"))
+
     # --- ChEES warm-fused transition rate --------------------------------
     sampler_ch = mc.ChEESHMC(len0=0.5, max_leaps=64)
 

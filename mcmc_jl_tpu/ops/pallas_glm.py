@@ -344,7 +344,7 @@ def _vdc2_scalar(i, nbits=31):
 def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
                       use_o, unit_prior, vec_prior=False, mat_prior=False,
                       integrator="leapfrog", halton=False,
-                      collect_rows=False):
+                      collect_rows=False, rows_extras=False):
     """``k_trans`` FULL HMC transitions for a block of chains in ONE kernel
     launch: momentum refresh (Box-Muller on the hardware PRNG) + whole
     trajectory + Metropolis accept, all VMEM-resident.  Between launches
@@ -381,7 +381,7 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
     theta_out, grad_out, lp_out, acc_out = (next(it) for _ in range(4))
     if collect_rows:
         r_theta, r_grad, r_lp, r_acc = (next(it) for _ in range(4))
-        if halton:
+        if rows_extras:
             r_alpha, r_nl = next(it), next(it)
 
     pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
@@ -428,7 +428,7 @@ def _multistep_kernel(*refs, d, n_leaps, k_trans, mxu_dtype, kind, use_w,
             r_grad[t] = g
             r_lp[t] = jnp.broadcast_to(lp, (blk, LANE))
             r_acc[t] = jnp.broadcast_to(a.astype(jnp.float32), (blk, LANE))
-            if halton:
+            if rows_extras:
                 alpha = jnp.exp(jnp.minimum(ratio, 0.0))
                 r_alpha[t] = jnp.broadcast_to(alpha, (blk, LANE))
                 r_nl[t] = jnp.full((blk, LANE), nl.astype(jnp.float32))
@@ -524,7 +524,7 @@ def _multistep_inner(XT, Y, theta, seeds, eps, *, d, n_leaps=10, k_trans=10,
     jax.jit,
     static_argnames=("d", "k_trans", "block_chains", "mxu_dtype", "kind",
                      "_use_w", "_use_o", "_unit_prior", "_vec_prior",
-                     "_mat_prior", "integrator"),
+                     "_mat_prior", "integrator", "_extras"),
 )
 def _multistep_rows_inner(XT, Y, theta, seeds, eps, T, i0, max_leaps, *,
                           d, k_trans=10, block_chains=256,
@@ -532,7 +532,7 @@ def _multistep_rows_inner(XT, Y, theta, seeds, eps, T, i0, max_leaps, *,
                           weights=None, offsets=None, prior_prec=1.0,
                           _use_w=False, _use_o=False, _unit_prior=True,
                           _vec_prior=False, _mat_prior=False,
-                          integrator="leapfrog"):
+                          integrator="leapfrog", _extras=True):
     """Launch the Halton-length multi-transition kernel once with
     per-transition ROW outputs (see ``_multistep_kernel`` halton /
     collect_rows).  TPU-only (hardware PRNG).  Returns
@@ -594,14 +594,15 @@ def _multistep_rows_inner(XT, Y, theta, seeds, eps, T, i0, max_leaps, *,
                           use_w=_use_w, use_o=_use_o,
                           unit_prior=_unit_prior, vec_prior=_vec_prior,
                           mat_prior=_mat_prior, integrator=integrator,
-                          halton=True, collect_rows=True),
+                          halton=True, collect_rows=True,
+                          rows_extras=_extras),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         grid=grid,
         in_specs=in_specs,
         out_specs=[chain_spec, chain_spec, col_spec, col_spec,
-                   row3_vec, row3_vec, row3_col, row3_col, row3_col,
-                   row3_col],
+                   row3_vec, row3_vec, row3_col, row3_col]
+        + ([row3_col, row3_col] if _extras else []),
         out_shape=[
             f32((C, d_pad), theta.dtype),
             f32((C, d_pad), theta.dtype),
@@ -611,14 +612,15 @@ def _multistep_rows_inner(XT, Y, theta, seeds, eps, T, i0, max_leaps, *,
             f32((k_trans, C, d_pad), theta.dtype),
             f32((k_trans, C, LANE), theta.dtype),
             f32((k_trans, C, LANE), theta.dtype),
-            f32((k_trans, C, LANE), theta.dtype),
-            f32((k_trans, C, LANE), theta.dtype),
-        ],
+        ] + ([f32((k_trans, C, LANE), theta.dtype)] * 2 if _extras
+             else []),
     )(*inputs)
-    theta, grad, lp, _acc, r_th, r_g, r_lp, r_a, r_al, r_nl = out
+    theta, grad, lp, _acc, r_th, r_g, r_lp, r_a = out[:8]
     rows = {"ppars": r_th, "pgrads": r_g, "plogtarget": r_lp[..., 0],
-            "accept": r_a[..., 0] > 0.5, "alpha": r_al[..., 0],
-            "nleaps": r_nl[..., 0].astype(jnp.int32)}
+            "accept": r_a[..., 0] > 0.5}
+    if _extras:
+        rows["alpha"] = out[8][..., 0]
+        rows["nleaps"] = out[9][..., 0].astype(jnp.int32)
     return theta, grad, lp[:, 0], rows
 
 

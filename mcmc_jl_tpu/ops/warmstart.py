@@ -481,7 +481,9 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
               kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
               integrator=sampler.integrator, extras=False)
     use_ms, kt = _ms_route(interpret, big_n, steps2, spec, d_pad, n_chains,
-                           lam, lam_vec, W, O, sampler.integrator)
+                           lam, lam_vec, W, O, sampler.integrator,
+                           XT=XT, Y=Y2, extras=False,
+                           max_leaps=max(2 * nl, 2), d=d)
 
     def run_phase(th0, k, block):
         if use_ms:
@@ -629,9 +631,11 @@ def _chees_scan(trajectory, theta0, lp0, g0, eps, T, key, *, d, steps, i0,
 
 
 def _pick_k_trans(steps):
-    """Largest divisor of ``steps`` in [2, 16] (in-kernel transitions per
-    multistep launch); 1 = fall back to per-transition launches."""
-    for k in range(16, 1, -1):
+    """Largest divisor of ``steps`` in [2, 8] (in-kernel transitions per
+    multistep launch; 8 caps the rank-3 row buffers' scoped-VMEM pressure
+    — k=10 at 2048 chains exceeded the 39 MB scoped limit on v5e);
+    1 = fall back to per-transition launches."""
+    for k in range(8, 1, -1):
         if steps % k == 0:
             return k
     return 1
@@ -663,7 +667,7 @@ def _chees_run_ms(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
                _use_w=W is not None, _use_o=O is not None,
                _unit_prior=lam_vec is None and float(lam) == 1.0,
                _vec_prior=lam_vec is not None and not mat, _mat_prior=mat,
-               integrator=integrator)
+               integrator=integrator, _extras=extras)
     n_blocks = C // min(block_chains, C)
 
     def launch(carry, k):
@@ -691,27 +695,71 @@ def _chees_run_ms(XT, Y, theta0, eps, T, key, *, d, steps, i0, max_leaps,
     return (thetaF, lps[-1], gs[-1]), infos
 
 
+_MS_DRIVER_PROBE_CACHE = {}
+
+
 def _ms_route(interpret, big_n, steps, spec, d_pad, n_chains, lam, lam_vec,
-              W, O, integrator):
+              W, O, integrator, XT=None, Y=None, extras=False,
+              max_leaps=2, d=None):
     """(use_ms, k_trans): route a GLM warm/continuation sampling phase to
-    the Halton multistep kernel when on real TPU, small-N, the step count
-    admits an in-kernel batch, and the kernel variant compile-probes."""
+    the Halton multistep kernel when on real TPU, small-N, and the step
+    count admits an in-kernel batch.  The probe AOT-compiles the FULL
+    driver at the REAL shapes (chain count included): the kernel-only
+    probe missed a chain-count-dependent scoped-VMEM overflow (k=10 x
+    2048 chains blew the 39 MB scoped limit while the one-block probe
+    compiled fine)."""
     from .glm_hmc import _pick_block
-    from .pallas_glm import is_mat_prior, multistep_rows_supported
+    from .pallas_glm import LANE
 
     if interpret or big_n or jax.default_backend() != "tpu":
         return False, 1
-    kt = _pick_k_trans(steps)
-    if kt <= 1:
+    kt0 = _pick_k_trans(steps)
+    if kt0 <= 1 or XT is None:
         return False, 1
-    mat = lam_vec is not None and is_mat_prior(lam_vec)
-    ok = multistep_rows_supported(
-        d_pad, spec.X.shape[0], _pick_block(n_chains), kt, kind=spec.kind,
-        use_w=W is not None, use_o=O is not None,
-        unit_prior=lam_vec is None and float(lam) == 1.0,
-        vec_prior=lam_vec is not None and not mat, mat_prior=mat,
-        integrator=integrator)
-    return ok, kt
+    blk = _pick_block(n_chains)
+    # candidate in-kernel batch sizes: the preferred kt, a ~half-size
+    # divisor, and 2 — the rank-3 row buffers scale with kt x n_chains
+    # and a too-large batch overflows XLA's scoped-vmem stack
+    cands = [kt0]
+    for k in range(kt0 // 2, 1, -1):
+        if steps % k == 0:
+            cands.append(k)
+            break
+    if steps % 2 == 0 and 2 not in cands:
+        cands.append(2)
+    f32 = jax.ShapeDtypeStruct
+    th_aval = f32((n_chains, d_pad), jnp.float32)
+    for kt in cands:
+        sig = (n_chains, d_pad, spec.X.shape[0], kt, steps,
+               spec.kind if isinstance(spec.kind, str) else id(spec.kind),
+               W is not None, O is not None,
+               lam_vec is None and float(lam) == 1.0,
+               None if lam_vec is None else tuple(np.shape(lam_vec)),
+               integrator, extras)
+        hit = _MS_DRIVER_PROBE_CACHE.get(sig)
+        if hit is True:
+            return True, kt
+        if hit is False:
+            continue
+        try:
+            _chees_run_ms.lower(
+                XT, Y, th_aval, jnp.float32(0.1), jnp.float32(1.0),
+                jax.random.PRNGKey(0),
+                d=d if d is not None else max(d_pad - LANE + 1, 1),
+                steps=steps,
+                i0=1, max_leaps=max_leaps, k_trans=kt, block_chains=blk,
+                kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
+                integrator=integrator, extras=extras).compile()
+            _MS_DRIVER_PROBE_CACHE[sig] = True
+            return True, kt
+        except Exception as e:  # pragma: no cover - backend-specific
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Halton multistep driver failed to compile at C=%d kt=%d "
+                "(%s)", n_chains, kt, type(e).__name__)
+            _MS_DRIVER_PROBE_CACHE[sig] = False
+    return False, 1
 
 
 @functools.partial(
@@ -939,7 +987,9 @@ def warmfused_chees_chains(model, sampler, runner, n_chains, key,
                   integrator=sampler.integrator)
         use_ms, kt = _ms_route(interpret, big_n, steps2, spec, d_pad,
                                n_chains, lam, lam_vec, W, O,
-                               sampler.integrator)
+                               sampler.integrator, XT=XT, Y=Y2,
+                               extras=True, max_leaps=sampler.max_leaps,
+                               d=d)
 
         def run_phase(th0, k, block):
             if use_ms:
@@ -1113,17 +1163,18 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
             # probe the Halton multistep route ONCE (kernel-variant
             # support does not depend on the segment length); each
             # segment picks its own in-kernel batch size
-            ms_ok, _ = _ms_route(interpret, big_n, 16, spec, d_pad,
-                                 n_chains, lam, lam_fold, W, O,
-                                 kw["integrator"])
+            ms_ok, ms_kt = _ms_route(interpret, big_n, 16, spec, d_pad,
+                                     n_chains, lam, lam_fold, W, O,
+                                     kw["integrator"], XT=XT, Y=Y2,
+                                     extras=kw.get("extras", True),
+                                     max_leaps=max_leaps, d=d)
 
             def run_phase(th0, k, block, steps, i0):
-                kt = _pick_k_trans(steps)
-                if ms_ok and kt > 1:
+                if ms_ok and steps % ms_kt == 0:
                     msk = dict(kw)
                     msk.pop("interpret")
                     return _chees_run_ms(XT, Y2, th0, jnp.float32(eps),
-                                         jnp.float32(T), k, k_trans=kt,
+                                         jnp.float32(T), k, k_trans=ms_kt,
                                          block_chains=block, steps=steps,
                                          i0=i0, **msk)
                 if big_n:
@@ -1271,7 +1322,9 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
                   kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_fold,
                   integrator="leapfrog")
         use_ms, kt = _ms_route(interpret, big_n, steps2, spec, d_pad,
-                               n_chains, lam, lam_fold, W, O, "leapfrog")
+                               n_chains, lam, lam_fold, W, O, "leapfrog",
+                               XT=XT, Y=Y2, extras=True,
+                               max_leaps=max_leaps, d=d)
 
         def run_phase(th0, k, block):
             if use_ms:

@@ -127,6 +127,21 @@ jax.jit(lambda th, seeds, eps, c: _multistep_inner(
     block_chains=128, consts=(c,))).lower(
     f32((128, LANE), jnp.float32), jax.ShapeDtypeStruct((1,), jnp.int32),
     f32((), jnp.float32), f32((1, 200), jnp.float32)).compile()
+
+# round-5: fused exact-NUTS tree kernel (nested while loops + scratch-ref
+# state machine) — slice, multinomial, and folded-metric variants
+from mcmc_jl_tpu.ops.pallas_nuts import nuts_kernel_supported
+assert nuts_kernel_supported(LANE, 1000, 256, 6), "exact-NUTS kernel"
+assert nuts_kernel_supported(LANE, 1000, 256, 6, multinomial=True), \
+    "exact-NUTS multinomial kernel"
+assert nuts_kernel_supported(LANE, 1000, 256, 6, unit_prior=False,
+                             vec_prior=True), "exact-NUTS vec-prior kernel"
+
+# round-5: Halton multistep rows kernel (in-kernel jittered lengths +
+# rank-3 per-transition row outputs)
+from mcmc_jl_tpu.ops.pallas_glm import multistep_rows_supported
+assert multistep_rows_supported(LANE, 1000, 256, 8), \
+    "Halton multistep rows kernel"
 print("OK")
 """
 
