@@ -88,4 +88,25 @@ def run():
     )
     out.append((f"binomial 10x1000: HMC leapfrog/s ({n_chains} chains)",
                 100 * 10 * n_chains / t, "leapfrog/s"))
+
+    # MALA: generic vs the fused one-leapfrog-HMC route (round 5)
+    t = _timeit(
+        lambda: run_chains(model, mc.MALA(0.0025), runner, n_chains,
+                           seed=0)[0]["plogtarget"],
+        inner=1, repeats=3,
+    )
+    out.append((f"binomial 10x1000: generic MALA trans/s ({n_chains} "
+                f"chains)", 100 * n_chains / t, "trans/s"))
+    mg = mc.model(glm=("logistic", Xh, Yh))
+    on_tpu = jax.default_backend() == "tpu"
+    from mcmc_jl_tpu.ops.glm_hmc import fused_mala_chains
+
+    t = _timeit(
+        lambda: fused_mala_chains(mg, mc.MALA(0.0025), runner, n_chains,
+                                  key=jax.random.PRNGKey(0),
+                                  interpret=not on_tpu)[0]["plogtarget"],
+        inner=1, repeats=3,
+    )
+    out.append((f"binomial 10x1000: FUSED MALA trans/s ({n_chains} "
+                f"chains)", 100 * n_chains / t, "trans/s"))
     return out

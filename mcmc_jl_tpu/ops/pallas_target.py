@@ -667,6 +667,25 @@ def fused_target_chains(model, sampler, runner, n_chains, key,
     return infos, states
 
 
+def fused_mala_target_chains(model, sampler, runner, n_chains, key,
+                             interpret=None):
+    """Plain MALA on a bounded custom target through the fused kernel —
+    the one-leapfrog-HMC equivalence of
+    :func:`mcmc_jl_tpu.ops.glm_hmc.fused_mala_chains` (MALA.jl:65-126)."""
+    from ..samplers.base import tuner_init
+    from ..samplers.hmc import HMC
+    from ..samplers.mala import MALAState
+
+    shim = HMC(1, float(np.sqrt(sampler.scale)))
+    infos, hstates = fused_target_chains(model, shim, runner, n_chains,
+                                         key, interpret=interpret)
+    bcast = lambda a: jnp.broadcast_to(a, (n_chains,) + a.shape)  # noqa: E731
+    tune = jax.tree_util.tree_map(bcast, tuner_init(sampler.scale))
+    states = MALAState(pars=hstates.pars, logtarget=hstates.logtarget,
+                       grad=hstates.grad, tune=tune, i=hstates.i)
+    return infos, states
+
+
 def run_target_hmc(logp_block, d, n_chains, steps, n_leaps=10, eps=0.1,
                    seed=0, key=None, inits=None, block_chains=256,
                    interpret=False, integrator="leapfrog", collect=False,

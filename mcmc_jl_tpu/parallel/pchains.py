@@ -167,11 +167,21 @@ def _plain_hmc(task):
     )
 
 
+def _plain_mala(task):
+    from ..samplers.mala import MALA
+
+    s = task.sampler
+    # plain MALA == one-leapfrog HMC at eps = sqrt(driftStep)
+    # (ops/glm_hmc.fused_mala_chains; reference MALA.jl:65-126)
+    return type(s) is MALA and s.tuner is None
+
+
 def _fused_eligible(task):
-    """Plain fixed-step HMC on a model(glm=...) posterior can route to the
-    fused Pallas trajectory kernel (ops/glm_hmc.py)."""
+    """Plain fixed-step HMC (or plain MALA, via the one-leapfrog
+    equivalence) on a model(glm=...) posterior can route to the fused
+    Pallas trajectory kernel (ops/glm_hmc.py)."""
     return getattr(task.model, "glm_spec", None) is not None \
-        and _plain_hmc(task)
+        and (_plain_hmc(task) or _plain_mala(task))
 
 
 def _target_eligible(task):
@@ -181,7 +191,7 @@ def _target_eligible(task):
     closes over data arrays, or uses unlowerable ops, probes False)."""
     return (
         getattr(task.model, "glm_spec", None) is None
-        and _plain_hmc(task)
+        and (_plain_hmc(task) or _plain_mala(task))
         and task.model.size <= 1024  # VMEM: 6 blocks x blk x d_pad x f32
     )
 
@@ -246,7 +256,8 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                 lifted = lifted_model_block(t.model)
                 use_target = lifted is not None and target_kernel_supported(
                     lifted[0], _round_up(t.model.size, LANE),
-                    _pick_block(n), integrator=t.sampler.integrator,
+                    _pick_block(n),
+                    integrator=getattr(t.sampler, "integrator", "leapfrog"),
                     consts=lifted[1])
         # adaptive HMC/HMCDA on a GLM: warmup on the generic engine, frozen
         # hyper-params to the fused kernel for the sampling phase
@@ -317,16 +328,21 @@ def prun_serialmc(tasks, seed: int = 0, mesh=None, fused="auto"):
                 key=jax.random.fold_in(key, gi), mesh=mesh,
             )
         elif use_fused:
-            from ..ops.glm_hmc import fused_hmc_chains
+            from ..ops.glm_hmc import fused_hmc_chains, fused_mala_chains
 
-            infos, final_states = fused_hmc_chains(
+            glm_fn = (fused_mala_chains if _plain_mala(t)
+                      else fused_hmc_chains)
+            infos, final_states = glm_fn(
                 t.model, t.sampler, t.runner, n,
                 key=jax.random.fold_in(key, gi),
             )
         elif use_target:
-            from ..ops.pallas_target import fused_target_chains
+            from ..ops.pallas_target import (fused_mala_target_chains,
+                                             fused_target_chains)
 
-            infos, final_states = fused_target_chains(
+            tgt_fn = (fused_mala_target_chains if _plain_mala(t)
+                      else fused_target_chains)
+            infos, final_states = tgt_fn(
                 t.model, t.sampler, t.runner, n,
                 key=jax.random.fold_in(key, gi),
             )

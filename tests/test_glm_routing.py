@@ -158,3 +158,47 @@ def test_target_routing_matches_generic():
     assert mc.acceptance(c0) > 40
     c1 = mc.resume(c0, steps=50)
     assert np.all(np.isfinite(c1.samples.values))
+
+
+def test_fused_mala_routing_matches_generic():
+    """Plain MALA routes through the fused kernels via the one-leapfrog
+    HMC equivalence (drift step s == eps^2; MALA.jl:65-126 vs
+    HMC.jl:93-102) — on BOTH the GLM and the custom-target paths
+    (VERDICT r4 stretch #10)."""
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    task = m * mc.MALA(0.02) * mc.SerialMC(steps=1200, burnin=300)
+
+    chains_fused = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+
+    def pooled_mean(chains):
+        return np.mean([c.samples.values.mean(0) for c in chains], axis=0)
+
+    mu_f, mu_g = pooled_mean(chains_fused), pooled_mean(chains_gen)
+    se = np.sqrt(np.mean([mc.var(c) for c in chains_gen], axis=0) / 8)
+    assert np.all(np.abs(mu_f - mu_g) < 6 * se + 0.05), (mu_f, mu_g, se)
+    # acceptance statistics must agree too (the MH ratio is identical)
+    acc_f = np.mean([mc.acceptance(c) for c in chains_fused])
+    acc_g = np.mean([mc.acceptance(c) for c in chains_gen])
+    assert abs(acc_f - acc_g) < 12, (acc_f, acc_g)
+
+    # final states are exact-resume MALAStates
+    from mcmc_jl_tpu.samplers.mala import MALAState
+
+    st = chains_fused[0].task.state
+    assert isinstance(st, MALAState)
+    c1 = mc.resume(chains_fused[0], steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+
+    # custom-target path (data-free model)
+    m2 = mc.model(lambda v: -0.5 * (4.0 * v[0] * v[0] + v[1] * v[1]),
+                  gradient=True, init=jnp.zeros(2), check_init=False)
+    task2 = m2 * mc.MALA(0.1) * mc.SerialMC(steps=1200, burnin=300)
+    cf = mc.run(task2, chains=8, seed=0, fused=True)
+    cg = mc.run(task2, chains=8, seed=0, fused=False)
+    mu_f2, mu_g2 = pooled_mean(cf), pooled_mean(cg)
+    se2 = np.sqrt(np.mean([mc.var(c) for c in cg], axis=0) / 8)
+    assert np.all(np.abs(mu_f2 - mu_g2) < 6 * se2 + 0.05)
+    var_f = np.mean([c.samples.values.var(0) for c in cf], axis=0)
+    np.testing.assert_allclose(var_f, [0.25, 1.0], rtol=0.3)
