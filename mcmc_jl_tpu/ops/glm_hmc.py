@@ -442,15 +442,66 @@ def fused_mala_chains(model, sampler, runner, n_chains, key,
     HMC.jl:93-102 — the standard equivalence), so the fused trajectory
     kernel serves the reference's most-used gradient sampler after HMC
     with zero new kernel code (VERDICT r4 stretch #10).  Protocol matches
-    :func:`fused_hmc_chains`; final states are exact-resume MALAStates."""
+    :func:`fused_hmc_chains`; final states are exact-resume MALAStates.
+
+    One-leapfrog transitions are the WORST per-launch amortization, so on
+    TPU the driver of choice is the multistep rows kernel (k transitions
+    per launch, in-kernel PRNG, per-transition rows) with the jittered
+    length pinned to 1 via ``T = eps`` — measured 0.76x plain-XLA when
+    launching one trajectory kernel per transition vs the generic engine,
+    multistep recovers the fused advantage."""
     from ..samplers.base import tuner_init
     from ..samplers.hmc import HMC
     from ..samplers.mala import MALAState
 
-    shim = HMC(1, float(np.sqrt(sampler.scale)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = model.glm_spec
+    d = model.size
+    eps_lf = float(np.sqrt(sampler.scale))
+    bcast = lambda a: jnp.broadcast_to(a, (n_chains,) + a.shape)  # noqa: E731
+
+    from .pallas_glm_bign import BIGN_THRESHOLD
+
+    if not interpret and spec.X.shape[0] <= BIGN_THRESHOLD:
+        from .pallas_glm import pad_design
+        from .warmstart import _chees_run_ms, _ms_route
+
+        XT, Y2, d_pad = pad_design(spec.X, spec.Y)
+        N = XT.shape[1]
+        W = (None if spec.weights is None
+             else jnp.reshape(jnp.asarray(spec.weights, jnp.float32),
+                              (1, N)))
+        O = (None if spec.offsets is None
+             else jnp.reshape(jnp.asarray(spec.offsets, jnp.float32),
+                              (1, N)))
+        lam = float(spec.prior_prec)
+        use_ms, kt = _ms_route(interpret, False, runner.len, spec, d_pad,
+                               n_chains, lam, None, W, O, "leapfrog",
+                               XT=XT, Y=Y2, extras=False, max_leaps=1, d=d)
+        if use_ms:
+            inits = jnp.broadcast_to(jnp.asarray(model.init, jnp.float32),
+                                     (n_chains, d))
+            theta0p = pad_chains(inits, d_pad)
+            # T = eps pins the jittered leap count to ceil(u) == 1
+            (thetaF, lpF, gF), infos = _chees_run_ms(
+                XT, Y2, theta0p, jnp.float32(eps_lf), jnp.float32(eps_lf),
+                key, d=d, steps=runner.len, i0=1, max_leaps=1, k_trans=kt,
+                block_chains=_pick_block(n_chains), kind=spec.kind, W=W,
+                O=O, lam=lam, extras=False)
+            mdt = model.init.dtype
+            tune = jax.tree_util.tree_map(bcast, tuner_init(sampler.scale))
+            states = MALAState(
+                pars=thetaF[:, :d].astype(mdt), logtarget=lpF.astype(mdt),
+                grad=gF[:, :d].astype(mdt), tune=tune,
+                i=jnp.full((n_chains,), runner.len + 1, jnp.int32))
+            states = jax.vmap(lambda s, th: sampler.reset(model, s, th))(
+                states, states.pars)
+            return infos, states
+
+    shim = HMC(1, eps_lf)
     infos, hstates = fused_hmc_chains(model, shim, runner, n_chains, key,
                                       interpret=interpret)
-    bcast = lambda a: jnp.broadcast_to(a, (n_chains,) + a.shape)  # noqa: E731
     tune = jax.tree_util.tree_map(bcast, tuner_init(sampler.scale))
     states = MALAState(pars=hstates.pars, logtarget=hstates.logtarget,
                        grad=hstates.grad, tune=tune, i=hstates.i)
