@@ -75,7 +75,8 @@ def _col(buf, idx, width):
 
 def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
                  unit_prior, vec_prior=False, mat_prior=False,
-                 multinomial=False, n_leaf_cols=0):
+                 multinomial=False, n_leaf_cols=0, logp_block=None,
+                 n_consts=0, vec_eps=False):
     """Kernel body.  ALL mutable per-chain state lives in VMEM *scratch
     refs*, and the two while loops carry only scalar counters + a scalar
     continue flag: a vector loop CARRY that is both read into another
@@ -84,10 +85,15 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
     explicit scratch state sidesteps the carry lowering entirely.
     Per-chain scalars ride (blk, LANE) scratch rows (lane 0 meaningful),
     per-chain vectors (blk, d_pad) rows."""
+    target_mode = logp_block is not None
     it = iter(refs)
-    eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(4))
-    w_ref = next(it) if use_w else None
-    o_ref = next(it) if use_o else None
+    eps_ref = next(it)
+    if target_mode:
+        const_refs = [next(it) for _ in range(n_consts)]
+    else:
+        lam_ref, xt_ref, y_ref = (next(it) for _ in range(3))
+        w_ref = next(it) if use_w else None
+        o_ref = next(it) if use_o else None
     (theta_ref, lp_ref, grad_ref, m0_ref, logu_ref, dirn_ref, merge_ref,
      leaf_ref) = (next(it) for _ in range(8))
     theta_out, grad_out, lp_out, nd_out, div_out = (next(it)
@@ -101,12 +107,24 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
     stacks = [next(it) for _ in range(2 * md)]
     ck_p, ck_m = stacks[:md], stacks[md:]
 
-    eps = eps_ref[0, 0]
-    lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
-    grad_only, logp_grad = _glm_funcs(
-        xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
-        use_w=use_w, use_o=use_o, unit_prior=unit_prior,
-        mat_prior=mat_prior)
+    if target_mode:
+        # custom-target mode: in-kernel jax.vjp of the logp block (the
+        # pallas_target contract), data rows as replicated VMEM consts;
+        # vec_eps carries a frozen diag metric as a per-coordinate row
+        consts = [r[:] for r in const_refs]
+        lb = (lambda th: logp_block(th, *consts)) if n_consts \
+            else logp_block
+
+        def logp_grad(th):
+            lp, vjp = jax.vjp(lb, th)
+            (g,) = vjp(jnp.ones_like(lp))
+            return lp, g
+    else:
+        lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
+        _, logp_grad = _glm_funcs(
+            xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype,
+            kind=kind, use_w=use_w, use_o=use_o, unit_prior=unit_prior,
+            mat_prior=mat_prior)
 
     theta0 = theta_ref[:]                       # (blk, d_pad)
     g0 = grad_ref[:]
@@ -114,6 +132,10 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
     m0 = m0_ref[:]                              # pre-masked momenta
     blk, d_pad = theta0.shape
     dt = theta0.dtype
+    if vec_eps:
+        epsw = jnp.broadcast_to(eps_ref[:], (blk, d_pad))
+    else:
+        epsw = jnp.full((blk, d_pad), eps_ref[0, 0], dt)
 
     H0 = -lp0 + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
     logu = logu_ref[:][:, 0:1]
@@ -161,13 +183,13 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
     setscal(ndr, jnp.zeros((blk, 1), dt))
     setscal(dvr, jnp.zeros((blk, 1), dt))
 
-    def subtree(eps_signed, dirn, n_leaves, j):
+    def subtree(dirn, n_leaves, j):
         """Lockstep subtree build of ``n_leaves`` leaves from the walker
         state in (wk_*); reservoir/counters in (sp_*, snr, slw, sdv, sok)
         scratch.  The seeds (n=0 / lw=-inf) guarantee the first valid leaf
         always takes, so the proposal seed value cannot leak."""
-        esw = bcd(eps_signed)
         dirnw = bcd(dirn)
+        esw = dirnw * epsw
         for i in range(md):
             ck_p[i][:] = zeros
             ck_m[i][:] = zeros
@@ -276,7 +298,7 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
         setscal(sp_lp, scal(wk_lp))
 
         n_leaves = jnp.asarray(1, jnp.int32) << j
-        subtree(eps * dirn, dirn, n_leaves, j)
+        subtree(dirn, n_leaves, j)
         ok1 = scal(sok) > 0
         n1 = scal(snr)
         lw1 = scal(slw)
@@ -581,6 +603,203 @@ def nuts_kernel_supported(d_pad, N, blk, maxdoublings, kind="logistic",
         logging.getLogger(__name__).warning(
             "fused exact-NUTS kernel failed to compile on %s (%s); "
             "using the generic engine", jax.default_backend(),
+            type(e).__name__)
+        ok = False
+    _NUTS_PROBE_CACHE[sig] = ok
+    return ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("logp_block", "maxdoublings", "block_chains",
+                     "interpret", "multinomial"))
+def _target_transition_inner(theta, lp, grad, eps_in, m0, logu, dirn,
+                             merge_u, leaf_u, *, logp_block,
+                             maxdoublings=6, block_chains=256,
+                             interpret=False, multinomial=False,
+                             consts=()):
+    """One fused exact-NUTS transition on a CUSTOM target (the
+    pallas_target contract: ``logp_block(theta[, *consts]) -> (blk, 1)``,
+    in-kernel jax.vjp for gradients, data rows as replicated VMEM
+    consts).  ``eps_in`` is a scalar, or a (d_pad,)/(1, d_pad)
+    per-coordinate step row (the frozen diag-metric fold).  Returns
+    (theta, grad, lp (C,), ndoublings (C,), diverged (C,))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, d_pad = theta.shape
+    blk = min(block_chains, C)
+    assert C % blk == 0
+    n_leaf_cols = leaf_u.shape[1]
+    vec_eps = getattr(eps_in, "ndim", 0) >= 1 and np.size(eps_in) > 1
+
+    grid = (C // blk,)
+    chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((blk, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    leaf_spec = pl.BlockSpec((blk, n_leaf_cols), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    if vec_eps:
+        eps2 = jnp.reshape(jnp.asarray(eps_in, jnp.float32), (1, d_pad))
+        eps_spec = pl.BlockSpec((1, d_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        eps2 = jnp.reshape(jnp.float32(eps_in), (1, 1))
+        eps_spec = smem_spec
+
+    lp_w = jnp.broadcast_to(jnp.reshape(lp, (C, 1)), (C, LANE))
+    logu_w = jnp.broadcast_to(jnp.reshape(logu, (C, 1)), (C, LANE))
+
+    inputs = [eps2]
+    in_specs = [eps_spec]
+    for c in consts:
+        c = jnp.asarray(c)
+        assert c.ndim == 2 and c.shape[0] == 1, \
+            "consts must be (1, size) rows (lifted_model_block layout)"
+        inputs.append(c)
+        in_specs.append(pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    inputs += [theta, lp_w, grad, m0, logu_w, dirn, merge_u, leaf_u]
+    in_specs += [chain_spec, col_spec, chain_spec, chain_spec, col_spec,
+                 col_spec, col_spec, leaf_spec]
+
+    from jax.experimental.pallas import tpu as _pltpu
+
+    vec = _pltpu.VMEM((blk, d_pad), jnp.float32)
+    row = _pltpu.VMEM((blk, LANE), jnp.float32)
+    scratch = [vec, vec, vec, vec, vec, vec, row, row,
+               vec, vec, row,
+               row, row, row, row, row,
+               vec, vec, vec, row,
+               vec, vec, row,
+               row, row, row, row]
+    scratch += [vec] * (2 * maxdoublings)
+
+    f32 = jax.ShapeDtypeStruct
+    out = pl.pallas_call(
+        functools.partial(_nuts_kernel, maxdoublings=maxdoublings,
+                          mxu_dtype=jnp.float32, kind=None, use_w=False,
+                          use_o=False, unit_prior=True,
+                          multinomial=multinomial,
+                          n_leaf_cols=n_leaf_cols, logp_block=logp_block,
+                          n_consts=len(consts), vec_eps=vec_eps),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[chain_spec, chain_spec, col_spec, col_spec, col_spec],
+        out_shape=[
+            f32((C, d_pad), theta.dtype),
+            f32((C, d_pad), theta.dtype),
+            f32((C, LANE), theta.dtype),
+            f32((C, LANE), theta.dtype),
+            f32((C, LANE), theta.dtype),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    theta, grad, lp, nd, div = out
+    return theta, grad, lp[:, 0], nd[:, 0].astype(jnp.int32), div[:, 0] > 0.5
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("logp_block", "d", "steps", "maxdoublings",
+                     "block_chains", "interpret", "multinomial"))
+def _nuts_target_run(logp_block, theta0, eps_in, key, *, d, steps,
+                     maxdoublings, block_chains, interpret,
+                     multinomial=False, consts=()):
+    """Scan ``steps`` fused exact-NUTS transitions on a custom target
+    (driver structure of :func:`_nuts_run`; lp0/g0 via the XLA-side bound
+    block)."""
+    from .pallas_target import _bind_consts
+
+    C, d_pad = theta0.shape
+    md = maxdoublings
+    n_leaf_cols = _round_up(1 << md, LANE)
+
+    lb = _bind_consts(logp_block, consts)
+    grad_only = jax.grad(lambda th: jnp.sum(lb(th)))
+    lp0 = lb(theta0)[:, 0]
+    g0 = grad_only(theta0)
+
+    def refresh(k):
+        m = jax.random.normal(k, (C, d), dtype=jnp.float32)
+        return jnp.pad(m, ((0, 0), (0, d_pad - d)))
+
+    def step(carry, k):
+        theta, lp, g = carry
+        k_mom, k_sl, k_dir, k_mrg, k_leaf = jax.random.split(k, 5)
+        m0 = refresh(k_mom)
+        logu = jnp.log(jax.random.uniform(k_sl, (C,), dtype=jnp.float32))
+        dirn = jnp.where(
+            jax.random.bernoulli(k_dir, shape=(C, LANE)), 1.0, -1.0
+        ).astype(jnp.float32)
+        merge_u = jax.random.uniform(k_mrg, (C, LANE), dtype=jnp.float32)
+        leaf_u = jax.random.uniform(k_leaf, (C, n_leaf_cols),
+                                    dtype=jnp.float32)
+        th2, g2, lp2, nd, div = _target_transition_inner(
+            theta, lp, g, eps_in, m0, logu, dirn, merge_u, leaf_u,
+            logp_block=logp_block, maxdoublings=md,
+            block_chains=block_chains, interpret=interpret,
+            multinomial=multinomial, consts=consts)
+        accept = jnp.any(th2[:, :d] != theta[:, :d], axis=1)
+        # epsilon diag: the SCALAR integration step (a vec-eps row carries
+        # the metric; report its first live lane like the generic engine's
+        # theta-space eps... the scalar is what the length rule uses)
+        eps_diag = (jnp.asarray(eps_in).reshape(-1)[0]
+                    if getattr(eps_in, "ndim", 0) >= 1 else eps_in)
+        info = {"ppars": th2[:, :d], "pgrads": g2[:, :d],
+                "plogtarget": lp2, "accept": accept,
+                "epsilon": jnp.broadcast_to(eps_diag, (C,)),
+                "ndoublings": nd, "diverging": div}
+        return (th2, lp2, g2), info
+
+    keys = jax.random.split(key, steps)
+    return jax.lax.scan(step, (theta0, lp0, g0), keys)
+
+
+def nuts_target_kernel_supported(logp_block, d_pad, blk, maxdoublings,
+                                 multinomial=False, vec_eps=False,
+                                 consts=()):
+    """Compile-probe the custom-target exact-NUTS kernel."""
+    cshapes = tuple((tuple(np.shape(c)), str(jnp.asarray(c).dtype))
+                    for c in consts)
+    sig = (logp_block, d_pad, blk, maxdoublings, multinomial, vec_eps,
+           cshapes, jax.default_backend())
+    hit = _NUTS_PROBE_CACHE.get(sig)
+    if hit is not None:
+        return hit
+    f32 = jax.ShapeDtypeStruct
+    cd = f32((blk, d_pad), jnp.float32)
+    cl = f32((blk, LANE), jnp.float32)
+    c1 = f32((blk,), jnp.float32)
+    leaf = f32((blk, _round_up(1 << maxdoublings, LANE)), jnp.float32)
+    eps_aval = (f32((1, d_pad), jnp.float32) if vec_eps
+                else f32((), jnp.float32))
+    extra = [f32(np.shape(c), jnp.asarray(c).dtype) for c in consts]
+
+    def probe(th, lp, g, eps, m0, logu, dirn, mrg, lf, *cs):
+        return _target_transition_inner(
+            th, lp, g, eps, m0, logu, dirn, mrg, lf,
+            logp_block=logp_block, maxdoublings=maxdoublings,
+            block_chains=blk, interpret=False, multinomial=multinomial,
+            consts=tuple(cs))
+
+    try:
+        jax.jit(probe).lower(cd, c1, cd, eps_aval, cd, c1, cl, cl, leaf,
+                             *extra).compile()
+        ok = True
+    except Exception as e:  # pragma: no cover - backend-specific
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "custom-target exact-NUTS kernel failed to compile on %s "
+            "(%s); using the generic engine", jax.default_backend(),
             type(e).__name__)
         ok = False
     _NUTS_PROBE_CACHE[sig] = ok

@@ -93,10 +93,11 @@ def _warm_ok(model, sampler, runner):
             # dynamic-length kernel (see warmfused_nuts_chains)
             return True
         # EXACT NUTS (round 5): the fused tree-build kernel
-        # (ops/pallas_nuts.py) serves the post-warmup phase on GLM
-        # posteriors — same sampler, U-turn rule and diagnostics, at
-        # fused-kernel cost per leaf (VERDICT r4 missing #2)
-        return glm
+        # (ops/pallas_nuts.py) serves the post-warmup phase — same
+        # sampler, U-turn rule and diagnostics, at fused-kernel cost per
+        # leaf (VERDICT r4 missing #2).  GLM posteriors AND bounded
+        # custom targets (the target-mode kernel; probe-guarded routing)
+        return True
     return False
 
 
@@ -1064,9 +1065,10 @@ def continue_eligible(task, states=None):
             return (states is not None
                     and float(np.min(np.asarray(states.tlen))) > 0.0)
         # exact NUTS: the fused tree-build kernel continues any
-        # post-burnin GLM chain at the frozen dual-averaged eps — the
-        # sampler itself is unchanged (ops/pallas_nuts.py)
-        return glm
+        # post-burnin chain at the frozen dual-averaged eps — the
+        # sampler itself is unchanged (ops/pallas_nuts.py); GLM and
+        # bounded custom targets alike
+        return True
     return False
 
 
@@ -1149,7 +1151,7 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
             from .pallas_nuts import _nuts_run
 
             assert not big_n, \
-                "exact-NUTS continuation: small-N GLM kernels only"
+                "exact-NUTS continuation: small-N kernels only"
 
             def run_phase(th0, k, block, steps, i0):
                 return _nuts_run(XT, Y2, th0, jnp.float32(eps), k, d=d,
@@ -1199,11 +1201,22 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
         if not chees and not nuts:
             tkw["extras"] = False
 
-        def run_phase(th0, k, block, steps, i0):
-            return _chees_target_run(logp_block, th0, eps_in,
-                                     jnp.float32(eps), jnp.float32(T), k,
-                                     block_chains=block, steps=steps,
-                                     i0=i0, **tkw)
+        if nuts_exact:
+            from .pallas_nuts import _nuts_target_run
+
+            def run_phase(th0, k, block, steps, i0):
+                return _nuts_target_run(
+                    logp_block, th0, eps_in, k, d=d, steps=steps,
+                    maxdoublings=sampler.maxdoublings, block_chains=block,
+                    interpret=interpret,
+                    multinomial=sampler.multinomial, consts=tconsts)
+        else:
+            def run_phase(th0, k, block, steps, i0):
+                return _chees_target_run(logp_block, th0, eps_in,
+                                         jnp.float32(eps),
+                                         jnp.float32(T), k,
+                                         block_chains=block, steps=steps,
+                                         i0=i0, **tkw)
 
         # target path: a diag metric rides the kernel's eps row (positions
         # stay in theta-space); a dense metric folds through the z-space
@@ -1375,11 +1388,30 @@ def nuts_exact_route_supported(model, sampler, n_chains):
     from .pallas_nuts import nuts_kernel_supported
 
     spec = getattr(model, "glm_spec", None)
-    if spec is None:
-        return False
     kindm = sampler._kind
     mat = kindm == "dense"
     d_pad = _round_up(model.size, LANE)
+    if spec is None:
+        # custom target: probe the target-mode tree kernel (dense metric
+        # through the z-space wrapper, diag through the vec-eps row)
+        from .pallas_nuts import nuts_target_kernel_supported
+
+        if mat:
+            block, consts, _ = dense_target_setup(
+                model, np.eye(model.size, dtype=np.float32))
+            vec_eps = False
+        else:
+            from .pallas_target import lifted_model_block
+
+            lifted = lifted_model_block(model)
+            if lifted is None:
+                return False
+            block, consts = lifted
+            vec_eps = kindm is not None
+        return nuts_target_kernel_supported(
+            block, d_pad, _pick_block(n_chains), sampler.maxdoublings,
+            multinomial=sampler.multinomial, vec_eps=vec_eps,
+            consts=consts)
     return nuts_kernel_supported(
         d_pad, spec.X.shape[0], _pick_block(n_chains),
         sampler.maxdoublings, kind=spec.kind,
@@ -1403,12 +1435,12 @@ def warmfused_nuts_exact_chains(model, sampler, runner, n_chains, key,
     freezes eps anyway (NUTS.jl:121-125), so the phase is the generic
     sampler at fused-kernel cost per leaf.
     """
-    from .pallas_glm import pad_chains
-    from .pallas_nuts import _nuts_run
+    from .pallas_glm import LANE, _round_up, pad_chains
+    from .pallas_nuts import _nuts_run, _nuts_target_run
 
     spec = model.glm_spec
-    assert spec is not None and _warm_ok(model, sampler, runner), \
-        "warmfused_nuts_exact_chains requires adaptive NUTS on a GLM"
+    assert _warm_ok(model, sampler, runner), \
+        "warmfused_nuts_exact_chains requires adaptive NUTS"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -1421,22 +1453,45 @@ def warmfused_nuts_exact_chains(model, sampler, runner, n_chains, key,
     s = _pool_mass(sampler._kind, states_w)
     d = model.size
     steps2 = runner.len - runner.burnin
-    XT, Y2, d_pad, theta0, lam, lam_fold, W, O = _fold(
-        spec, d, states_w, s, tiled=False)
-    theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+    if spec is None:
+        # custom target: dense metric through the z-space wrapper, diag
+        # through the kernel's per-coordinate step row
+        d_pad = _round_up(d, LANE)
+        logp_block, consts, unfold_s = dense_target_setup(model, s)
+        eps_in = (jnp.float32(eps) if unfold_s is not None
+                  else _eps_row(eps, s, d, d_pad))
+        theta0p = pad_chains(
+            jnp.asarray(_fold_theta(states_w.pars, unfold_s),
+                        jnp.float32), d_pad)
 
-    def run_phase(th0, k, block):
-        return _nuts_run(XT, Y2, th0, jnp.float32(eps), k, d=d,
-                         steps=steps2, maxdoublings=sampler.maxdoublings,
-                         block_chains=block, interpret=interpret,
-                         kind=spec.kind, W=W, O=O, lam=lam,
-                         lam_vec=lam_fold,
-                         multinomial=sampler.multinomial)
+        def run_phase(th0, k, block):
+            return _nuts_target_run(
+                logp_block, th0, eps_in, k, d=d, steps=steps2,
+                maxdoublings=sampler.maxdoublings, block_chains=block,
+                interpret=interpret, multinomial=sampler.multinomial,
+                consts=consts)
+
+        fold_s = unfold_s
+    else:
+        XT, Y2, d_pad, theta0, lam, lam_fold, W, O = _fold(
+            spec, d, states_w, s, tiled=False)
+        theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+
+        def run_phase(th0, k, block):
+            return _nuts_run(XT, Y2, th0, jnp.float32(eps), k, d=d,
+                             steps=steps2,
+                             maxdoublings=sampler.maxdoublings,
+                             block_chains=block, interpret=interpret,
+                             kind=spec.kind, W=W, O=O, lam=lam,
+                             lam_vec=lam_fold,
+                             multinomial=sampler.multinomial)
+
+        fold_s = s
 
     (thetaF, lpF, gF), infos2 = _mesh_phase(run_phase, theta0p, k_samp,
                                             n_chains, mesh)
     infos, theta_model = _unfold_cat(
-        infos_w, infos2, thetaF, s, d,
+        infos_w, infos2, thetaF, fold_s, d,
         extra_keys=("epsilon", "ndoublings", "diverging"))
 
     theta_model = theta_model.astype(states_w.pars.dtype)

@@ -142,6 +142,13 @@ assert nuts_kernel_supported(LANE, 1000, 256, 6, unit_prior=False,
 from mcmc_jl_tpu.ops.pallas_glm import multistep_rows_supported
 assert multistep_rows_supported(LANE, 1000, 256, 8), \
     "Halton multistep rows kernel"
+
+# round-5: custom-target exact-NUTS (in-kernel vjp inside the tree build)
+from mcmc_jl_tpu.ops.pallas_nuts import nuts_target_kernel_supported
+assert nuts_target_kernel_supported(blockfn, LANE, 128, 6), \
+    "target exact-NUTS kernel"
+assert nuts_target_kernel_supported(blockfn, LANE, 128, 6, vec_eps=True), \
+    "target exact-NUTS vec-eps kernel"
 print("OK")
 """
 
