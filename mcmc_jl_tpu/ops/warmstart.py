@@ -293,6 +293,13 @@ def _mesh_phase(run_phase, theta0p, k_samp, n_chains, mesh):
         block_l = _pick_block(n_chains // n_dev)
         run_keys = jax.vmap(lambda i: jax.random.fold_in(k_samp, i))(
             jnp.arange(n_dev))
+        # check_vma=False: the Pallas calls inside the per-device body
+        # are opaque to shard_map's varying-mesh-axes checker (it cannot
+        # see that the kernel treats operands as device-local), so the
+        # check rejects valid programs.  Correctness is gated by the
+        # sharded-vs-unsharded equivalence tests instead
+        # (tests/test_sharded.py, test_warmfused sharded gates, the
+        # bign 2x4-vs-1x1 test) — a regression breaks those, not this.
         fn = shard_map(lambda th0, keys: run_phase(th0, keys[0], block_l),
                        mesh=mesh,
                        in_specs=(P(axis), P(axis)),

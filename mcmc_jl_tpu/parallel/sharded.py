@@ -129,6 +129,13 @@ def run_chains_sharded(make_model, data, sampler, runner, mesh, n_chains,
 
     ctx = RunCtx(burnin=runner.burnin)
 
+    # check_vma=False: the body mixes data-axis psums (inside the
+    # model's sharded likelihood) with chain-sharded state the checker
+    # sees as varying over BOTH axes — the inferred vma for the psum'd
+    # gradient conflicts with the replicated-out spec even though the
+    # value is equal on every data shard by construction.  Correctness
+    # is gated by the bitwise sharded-vs-unsharded tests
+    # (tests/test_sharded.py) — a regression breaks those, not this.
     @partial(
         jax.shard_map,
         mesh=mesh,
