@@ -75,6 +75,13 @@ def _warm_ok(model, sampler, runner):
     if isinstance(s, HMCDA):
         return (not s.store_leaps
                 and s.integrator in ("leapfrog", "2stage", "3stage"))
+    from ..samplers.mala import MALA
+
+    if type(s) is MALA:
+        # adaptive MALA: freeze the tuned drift step, run the sampling
+        # phase as one-leapfrog HMC at eps = sqrt(scale) through the
+        # fused kernels (the plain-MALA equivalence, glm_hmc.py)
+        return s.tuner is not None
     if isinstance(s, ChEESHMC):
         # post-burnin ChEES is fixed-eps HMC with shared Halton-jittered
         # trajectory lengths: the dynamic-trip-count GLM kernel (small N),
@@ -130,9 +137,16 @@ def _freeze(sampler, states_w):
     """Pool per-chain adapted hyper-parameters into kernel constants.
 
     Returns ``(eps, n_leaps, s)``; ``s`` is the pooled per-coordinate
-    inverse-mass sqrt (None = unit metric)."""
+    inverse-mass sqrt (None = unit metric).  For MALA the returned eps is
+    the KERNEL leapfrog step ``sqrt(drift step)`` (one-leapfrog
+    equivalence) with n_leaps pinned to 1."""
     from ..samplers.hmc import HMC
+    from ..samplers.mala import MALA
 
+    if type(sampler) is MALA:
+        scale = (float(np.median(np.asarray(states_w.tune.step_size)))
+                 if sampler.tuner is not None else sampler.scale)
+        return float(np.sqrt(scale)), 1, None
     if isinstance(sampler, HMC):
         if sampler.tuner is not None:
             eps = float(np.median(np.asarray(states_w.tune.step_size)))
@@ -356,6 +370,8 @@ def warmfused_chains(model, sampler, runner, n_chains, key, interpret=None,
                                               interpret=interpret, mesh=mesh)
         return warmfused_nuts_chains(model, sampler, runner, n_chains, key,
                                      interpret=interpret, mesh=mesh)
+    # adaptive MALA rides the HMC pipelines (one-leapfrog equivalence;
+    # _freeze/_frozen_states/T-rule special-case it)
     if getattr(model, "glm_spec", None) is None:
         return warmfused_target_chains(model, sampler, runner, n_chains,
                                        key, interpret=interpret, mesh=mesh)
@@ -370,10 +386,21 @@ def _frozen_states(model, sampler, states_w, theta_model, eps, nl, steps2):
     from ..samplers.base import TuneState
     from ..samplers.hmc import HMC
 
+    from ..samplers.mala import MALA
+
     theta_model = theta_model.astype(states_w.pars.dtype)
     states = jax.vmap(lambda st, th: sampler.reset(model, st, th))(
         states_w, theta_model)
     C = theta_model.shape[0]
+    if type(sampler) is MALA:
+        # the state stores the DRIFT step (variance), not the kernel eps
+        dt = states.tune.step_size.dtype
+        states = states.replace(tune=TuneState(
+            step_size=jnp.full((C,), eps * eps, dt),
+            n_leaps=states.tune.n_leaps,
+            accepted=jnp.zeros((C,), jnp.int32),
+            proposed=jnp.zeros((C,), jnp.int32)))
+        return states.replace(i=states.i + steps2)
     if isinstance(sampler, HMC):
         if sampler.tuner is not None:
             dt = states.tune.step_size.dtype
@@ -421,12 +448,17 @@ def warmfused_target_chains(model, sampler, runner, n_chains, key,
     eps, nl, s = _freeze(sampler, states_w)
     d = model.size
     steps2 = runner.len - runner.burnin
+    from ..samplers.mala import MALA as _MALA
+
+    mala = type(sampler) is _MALA
     # shared per-step Halton jitter around the frozen nl (see the GLM
-    # pipeline's phase-3 note: a pooled FIXED length resonates)
-    T = 2.0 * nl * eps
+    # pipeline's phase-3 note); MALA pins the count to exactly 1
+    T = eps if mala else 2.0 * nl * eps
+    max_leaps = 1 if mala else max(2 * nl, 2)
 
     (thetaF, lpF, gF), infos2, unfold_s = _dyn_target_phase(
-        model, sampler.integrator, eps, T, max(2 * nl, 2), s, states_w,
+        model, getattr(sampler, "integrator", "leapfrog"), eps, T,
+        max_leaps, s, states_w,
         steps2, runner.burnin + 1, k_samp, n_chains, interpret, mesh,
         extras=False)
     infos, theta_model = _unfold_cat(infos_w, infos2, thetaF, unfold_s, d)
@@ -481,17 +513,25 @@ def warmfused_hmc_chains(model, sampler, runner, n_chains, key,
     # per-chain-length generic engine on the bench posterior) — while
     # shared per-step jitter breaks it at identical kernel cost: the
     # dynamic-trip-count drivers (the ChEES machinery at fixed T) serve it.
+    from ..samplers.mala import MALA as _MALA
+
+    mala = type(sampler) is _MALA
     steps2 = runner.len - runner.burnin
     theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
-    T = 2.0 * nl * eps
+    # MALA: exactly ONE leapfrog per transition (T = eps pins the
+    # jittered count to ceil(u) == 1); HMC/HMCDA: jitter around nl
+    T = eps if mala else 2.0 * nl * eps
+    max_leaps = 1 if mala else max(2 * nl, 2)
     kw = dict(d=d, steps=steps2, i0=runner.burnin + 1,
-              max_leaps=max(2 * nl, 2), interpret=interpret,
+              max_leaps=max_leaps, interpret=interpret,
               kind=spec.kind, W=W, O=O, lam=lam, lam_vec=lam_vec,
-              integrator=sampler.integrator, extras=False)
+              integrator=getattr(sampler, "integrator", "leapfrog"),
+              extras=False)
     use_ms, kt = _ms_route(interpret, big_n, steps2, spec, d_pad, n_chains,
-                           lam, lam_vec, W, O, sampler.integrator,
+                           lam, lam_vec, W, O,
+                           getattr(sampler, "integrator", "leapfrog"),
                            XT=XT, Y=Y2, extras=False,
-                           max_leaps=max(2 * nl, 2), d=d)
+                           max_leaps=max_leaps, d=d)
 
     def run_phase(th0, k, block):
         if use_ms:
@@ -1060,6 +1100,10 @@ def continue_eligible(task, states=None):
         return s._kind in (None, "diag", "diag-win", "dense")
     if isinstance(s, HMCDA):
         return not s.store_leaps and s.integrator in ok_integ
+    from ..samplers.mala import MALA
+
+    if type(s) is MALA:
+        return True  # frozen (or plain) drift step: one-leapfrog kernel
     if isinstance(s, ChEESHMC):
         return (getattr(s, "_kind", None) in (None, "diag", "diag-win")
                 and s.integrator in ok_integ)
@@ -1135,10 +1179,17 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
             extras = ("epsilon", "ndoublings", "diverging")
     else:
         # _freeze already pools the mass metric (its third return); shared
-        # per-step length jitter around the frozen nl (phase-3 note)
+        # per-step length jitter around the frozen nl (phase-3 note);
+        # MALA pins the jittered count to exactly 1 (T = eps)
+        from ..samplers.mala import MALA as _MALA
+
         eps, nl, s = _freeze(sampler, states0)
-        T = 2.0 * nl * eps
-        max_leaps = max(2 * nl, 2)
+        if type(sampler) is _MALA:
+            T = eps
+            max_leaps = 1
+        else:
+            T = 2.0 * nl * eps
+            max_leaps = max(2 * nl, 2)
         extras = ()
 
     if spec is not None:

@@ -218,6 +218,45 @@ def test_warmfused_hmcda_mass_adapt_matches_generic():
                                rtol=1e-4, atol=5e-3)
 
 
+def test_warmfused_mala_matches_generic():
+    """Adaptive (tuned) MALA warm pipeline (round 5): the frozen drift
+    step runs the sampling phase as one-leapfrog HMC through the fused
+    kernels, on the GLM AND the custom-target paths; resume continues at
+    the frozen step."""
+    X, Y = _data()
+    m = mc.model(glm=("logistic", X, Y))
+    s = mc.MALA(0.005, mc.EmpMCTuner(0.574, adapt_step=50))
+    task = m * s * mc.SerialMC(steps=1500, burnin=400)
+    assert warm_eligible(MCMCTask(m, s, task.runner))
+
+    chains_warm = mc.run(task, chains=8, seed=0, fused=True)
+    chains_gen = mc.run(task, chains=8, seed=0, fused=False)
+    _pooled_gate(chains_warm, chains_gen)
+
+    c0 = chains_warm[0]
+    st = c0.task.state
+    # state carries the frozen DRIFT step (variance), shared across chains
+    assert float(st.tune.step_size) > 0
+    eps_all = [float(c.task.state.tune.step_size) for c in chains_warm]
+    assert np.ptp(eps_all) < 1e-12
+    c1 = mc.resume(c0, steps=100)
+    assert np.all(np.isfinite(c1.samples.values))
+    # batched fused resume
+    cont = mc.resume(chains_warm, steps=200, fused=True)
+    assert np.all(np.isfinite(cont[0].samples.values))
+
+    # custom-target path
+    m2 = _aniso_target_model()
+    s2 = mc.MALA(0.05, mc.EmpMCTuner(0.574, adapt_step=50))
+    task2 = m2 * s2 * mc.SerialMC(steps=1500, burnin=400)
+    assert warm_eligible(MCMCTask(m2, s2, task2.runner))
+    cf = mc.run(task2, chains=8, seed=0, fused=True)
+    cg = mc.run(task2, chains=8, seed=0, fused=False)
+    _pooled_gate(cf, cg)
+    var = np.mean([c.samples.values.var(0) for c in cf], axis=0)
+    assert np.all(np.abs(var / np.array([4.0, 0.25, 1.0]) - 1.0) < 0.5), var
+
+
 def test_warmfused_chees_matches_generic():
     """ChEES: post-burnin frozen (eps, T) + shared Halton lengths through
     the dynamic-trip-count kernel must match the generic pooled engine."""
