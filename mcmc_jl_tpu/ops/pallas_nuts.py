@@ -246,32 +246,43 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
             sp_g[:] = jnp.where(takew, g, sp_g[:])
             setscal(sp_lp, jnp.where(take, lp, scal(sp_lp)))
 
-            # checkpoint store at even k, slot popcount(k) (shared scalar)
-            is_even = (k % 2) == 0
-            slot = _popcount_bits(k, md + 1)
-            for i in range(md):
-                mask = bcd(run & (is_even & (slot == i)))
-                ck_p[i][:] = jnp.where(mask, pars, ck_p[i][:])
-                ck_m[i][:] = jnp.where(mask, m, ck_m[i][:])
-
-            # u-turn spans ending at odd k (NUTS.jl:50): slots
-            # popcount(k>>1)-trailing_ones(k)+1 .. popcount(k>>1)
-            idx_max = _popcount_bits(k >> 1, md + 1)
-            idx_min = idx_max - _trailing_ones_bits(k, md + 1) + 1
-            is_odd = (k % 2) == 1
-            turned = jnp.zeros((blk, 1), jnp.bool_)
-            for i in range(md):
-                act = is_odd & (i >= idx_min) & (i <= idx_max)
-                delta = dirnw * (pars - ck_p[i][:])
-                ti = (jnp.sum(delta * ck_m[i][:], axis=1,
-                              keepdims=True) < 0) \
-                    | (jnp.sum(delta * m, axis=1, keepdims=True) < 0)
-                turned = turned | (act & ti)
+            from jax.experimental import pallas as pl
 
             setscal(sdv, jnp.maximum(scal(sdv),
                                      jnp.where(run & diverged, 1.0, 0.0)))
-            ok_new = jnp.where(run & (diverged | turned), 0.0, scal(sok))
-            setscal(sok, ok_new)
+            setscal(sok, jnp.where(run & diverged, 0.0, scal(sok)))
+
+            is_even = (k % 2) == 0
+            slot = _popcount_bits(k, md + 1)
+
+            # checkpoint store at even k, slot popcount(k) (shared
+            # scalar) — a REAL branch (scf.if on the parity scalar), so
+            # odd leaves skip the md masked stores entirely
+            @pl.when(is_even)
+            def _store_ckpt():
+                for i in range(md):
+                    mask = bcd(run & (slot == i))
+                    ck_p[i][:] = jnp.where(mask, pars, ck_p[i][:])
+                    ck_m[i][:] = jnp.where(mask, m, ck_m[i][:])
+
+            # u-turn spans ending at odd k (NUTS.jl:50): slots
+            # popcount(k>>1)-trailing_ones(k)+1 .. popcount(k>>1) —
+            # even leaves skip the 2*md reduction dots
+            @pl.when(~is_even)
+            def _span_checks():
+                idx_max = _popcount_bits(k >> 1, md + 1)
+                idx_min = idx_max - _trailing_ones_bits(k, md + 1) + 1
+                turned = jnp.zeros((blk, 1), jnp.bool_)
+                for i in range(md):
+                    act = (i >= idx_min) & (i <= idx_max)
+                    delta = dirnw * (pars - ck_p[i][:])
+                    ti = (jnp.sum(delta * ck_m[i][:], axis=1,
+                                  keepdims=True) < 0) \
+                        | (jnp.sum(delta * m, axis=1, keepdims=True) < 0)
+                    turned = turned | (act & ti)
+                setscal(sok, jnp.where(run & turned, 0.0, scal(sok)))
+
+            ok_new = scal(sok)
             return k + 1, (k + 1 < n_leaves) & jnp.any(ok_new > 0)
 
         jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
