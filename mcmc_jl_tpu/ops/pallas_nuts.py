@@ -199,7 +199,10 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
         setscal(sok, jnp.ones((blk, 1), dt))
 
         def cond(c):
-            return (c[0] < n_leaves) & c[1]
+            # no data-dependent early exit: the any() reduction + scalar
+            # branch costs a per-leaf sync that outweighs the masked dead
+            # work at shallow subtree sizes (measured +21% on v5e)
+            return c[0] < n_leaves
 
         def body(c):
             k = c[0]
@@ -282,11 +285,9 @@ def _nuts_kernel(*refs, maxdoublings, mxu_dtype, kind, use_w, use_o,
                     turned = turned | (act & ti)
                 setscal(sok, jnp.where(run & turned, 0.0, scal(sok)))
 
-            ok_new = scal(sok)
-            return k + 1, (k + 1 < n_leaves) & jnp.any(ok_new > 0)
+            return (k + 1,)
 
-        jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
-                                        n_leaves > 0))
+        jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),))
 
     # ---- outer doubling loop --------------------------------------------
     def outer_cond(c):
@@ -815,3 +816,458 @@ def nuts_target_kernel_supported(logp_block, d_pad, blk, maxdoublings,
         ok = False
     _NUTS_PROBE_CACHE[sig] = ok
     return ok
+
+
+def _nuts_ms_kernel(*refs, maxdoublings, k_trans, d, mxu_dtype, kind,
+                    use_w, use_o, unit_prior, vec_prior=False,
+                    mat_prior=False, multinomial=False):
+    """``k_trans`` FULL exact-NUTS transitions per launch with ALL
+    randomness drawn on the hardware PRNG (momenta via Box-Muller, slice/
+    direction/merge/reservoir uniforms) — the NUTS analog of the HMC
+    multistep kernels: between launches only (state, per-transition rows)
+    touch HBM, and the per-transition launch overhead that dominates
+    shallow trees is amortized over the whole batch.  Tree semantics and
+    the scratch-ref state machine are identical to :func:`_nuts_kernel`;
+    per-transition post-accept rows (theta, grad, lp, accept, ndoublings,
+    diverging) stream to rank-3 outputs.  TPU-only (no interpret mode)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pallas_rwm import _normal_hw, _uniform
+
+    it = iter(refs)
+    seed_ref, eps_ref, lam_ref, xt_ref, y_ref = (next(it) for _ in range(5))
+    w_ref = next(it) if use_w else None
+    o_ref = next(it) if use_o else None
+    theta_ref, lp_ref, grad_ref = (next(it) for _ in range(3))
+    theta_out, grad_out, lp_out = (next(it) for _ in range(3))
+    r_theta, r_g, r_lp, r_acc, r_nd, r_dv = (next(it) for _ in range(6))
+    (zp_p, zp_m, zp_g, zm_p, zm_m, zm_g, zp_lp, zm_lp,
+     pp_p, pp_g, pp_lp, sf, ntot, lwtot, ndr, dvr,
+     wk_p, wk_m, wk_g, wk_lp, sp_p, sp_g, sp_lp,
+     snr, slw, sdv, sok, cur_p, cur_g, cur_lp) = (next(it)
+                                                  for _ in range(30))
+    md = maxdoublings
+    stacks = [next(it) for _ in range(2 * md)]
+    ck_p, ck_m = stacks[:md], stacks[md:]
+
+    pltpu.prng_seed(seed_ref[pl.program_id(0), 0])
+    lam = lam_ref[:] if (vec_prior or mat_prior) else lam_ref[0, 0]
+    _, logp_grad = _glm_funcs(
+        xt_ref, y_ref, w_ref, o_ref, lam, mxu_dtype=mxu_dtype, kind=kind,
+        use_w=use_w, use_o=use_o, unit_prior=unit_prior,
+        mat_prior=mat_prior)
+
+    th_in = theta_ref[:]
+    blk, d_pad = th_in.shape
+    dt = th_in.dtype
+    epsw = jnp.full((blk, d_pad), eps_ref[0, 0], dt)
+    live = jax.lax.broadcasted_iota(jnp.int32, (blk, d_pad), 1) < d
+
+    zeros = jnp.zeros_like(th_in)
+    neg_inf = jnp.full((blk, 1), -jnp.inf, dt)
+
+    def scal(ref):
+        return ref[:][:, 0:1]
+
+    def setscal(ref, v):
+        ref[:] = jnp.broadcast_to(v, (blk, LANE))
+
+    def bcd(v):
+        return jnp.broadcast_to(v, (blk, d_pad))
+
+    def u_col():  # one fresh (blk, 1) uniform in (0, 1]
+        return (1.0 - _uniform((blk, LANE)))[:, 0:1]
+
+    def leaf_step(pars, m, lp, g, esw):
+        m = m + 0.5 * esw * g
+        pars = pars + esw * m
+        lp, g = logp_grad(pars)
+        m = m + 0.5 * esw * g
+        return pars, m, lp, g
+
+    cur_p[:] = th_in
+    cur_g[:] = grad_ref[:]
+    setscal(cur_lp, lp_ref[:][:, 0:1])
+
+    def transition(t):
+        theta0 = cur_p[:]
+        g0 = cur_g[:]
+        lp0 = scal(cur_lp)
+        m0 = jnp.where(live, _normal_hw((blk, d_pad)), 0.0)
+        H0 = -lp0 + 0.5 * jnp.sum(m0 * m0, axis=1, keepdims=True)
+        if multinomial:
+            u_slice = -H0
+        else:
+            u_slice = jnp.log(u_col()) - H0     # NUTS.jl:141
+
+        for r, v in ((zp_p, theta0), (zp_m, m0), (zp_g, g0),
+                     (zm_p, theta0), (zm_m, m0), (zm_g, g0),
+                     (pp_p, theta0), (pp_g, g0)):
+            r[:] = v
+        setscal(zp_lp, lp0)
+        setscal(zm_lp, lp0)
+        setscal(pp_lp, lp0)
+        setscal(sf, jnp.ones((blk, 1), dt))
+        setscal(ntot, jnp.ones((blk, 1), dt))
+        setscal(lwtot, jnp.zeros((blk, 1), dt))
+        setscal(ndr, jnp.zeros((blk, 1), dt))
+        setscal(dvr, jnp.zeros((blk, 1), dt))
+
+        def subtree(dirn, n_leaves, j):
+            dirnw = bcd(dirn)
+            esw = dirnw * epsw
+            for i in range(md):
+                ck_p[i][:] = zeros
+                ck_m[i][:] = zeros
+            setscal(snr, jnp.zeros((blk, 1), dt))
+            setscal(slw, neg_inf)
+            setscal(sdv, jnp.zeros((blk, 1), dt))
+            setscal(sok, jnp.ones((blk, 1), dt))
+
+            def cond(c):
+                # no data-dependent early exit: the any() reduction +
+                # scalar branch costs a per-leaf sync that outweighs the
+                # masked dead work at shallow subtree sizes
+                return c[0] < n_leaves
+
+            def body(c):
+                k = c[0]
+                run = scal(sok) > 0
+                runw = bcd(run)
+                pars, m, g = wk_p[:], wk_m[:], wk_g[:]
+                lp = scal(wk_lp)
+
+                n_pars, n_m, n_lp, n_g = leaf_step(pars, m, lp, g, esw)
+                pars = jnp.where(runw, n_pars, pars)
+                m = jnp.where(runw, n_m, m)
+                lp = jnp.where(run, n_lp, lp)
+                g = jnp.where(runw, n_g, g)
+                wk_p[:] = pars
+                wk_m[:] = m
+                wk_g[:] = g
+                setscal(wk_lp, lp)
+
+                H = -lp + 0.5 * jnp.sum(m * m, axis=1, keepdims=True)
+                H = jnp.where(jnp.isnan(H), jnp.inf, H)
+                diverged = u_slice >= DELTAMAX - H
+                leaf_ok = ~diverged
+
+                u_leaf = u_col()
+                n = scal(snr)
+                lw = scal(slw)
+                if multinomial:
+                    leaf_valid = leaf_ok
+                    lw_leaf = jnp.where(diverged, neg_inf, H0 - H)
+                    lw_new = jnp.logaddexp(lw, lw_leaf)
+                    take = run & leaf_ok & (
+                        jnp.log(u_leaf) < lw_leaf - lw_new)
+                    setscal(slw, jnp.where(run, lw_new, lw))
+                else:
+                    leaf_valid = u_slice <= -H
+                    nf = n + jnp.where(leaf_valid, 1.0, 0.0)
+                    take = run & leaf_valid & (u_leaf * nf < 1.0)
+                setscal(snr, n + jnp.where(run & leaf_valid, 1.0, 0.0))
+                takew = bcd(take)
+                sp_p[:] = jnp.where(takew, pars, sp_p[:])
+                sp_g[:] = jnp.where(takew, g, sp_g[:])
+                setscal(sp_lp, jnp.where(take, lp, scal(sp_lp)))
+
+                setscal(sdv, jnp.maximum(
+                    scal(sdv), jnp.where(run & diverged, 1.0, 0.0)))
+                setscal(sok, jnp.where(run & diverged, 0.0, scal(sok)))
+
+                is_even = (k % 2) == 0
+                slot = _popcount_bits(k, md + 1)
+
+                @pl.when(is_even)
+                def _store_ckpt():
+                    for i in range(md):
+                        mask = bcd(run & (slot == i))
+                        ck_p[i][:] = jnp.where(mask, pars, ck_p[i][:])
+                        ck_m[i][:] = jnp.where(mask, m, ck_m[i][:])
+
+                @pl.when(~is_even)
+                def _span_checks():
+                    idx_max = _popcount_bits(k >> 1, md + 1)
+                    idx_min = idx_max - _trailing_ones_bits(k, md + 1) + 1
+                    turned = jnp.zeros((blk, 1), jnp.bool_)
+                    for i in range(md):
+                        act = (i >= idx_min) & (i <= idx_max)
+                        delta = dirnw * (pars - ck_p[i][:])
+                        ti = (jnp.sum(delta * ck_m[i][:], axis=1,
+                                      keepdims=True) < 0) \
+                            | (jnp.sum(delta * m, axis=1,
+                                       keepdims=True) < 0)
+                        turned = turned | (act & ti)
+                    setscal(sok, jnp.where(run & turned, 0.0, scal(sok)))
+
+                return (k + 1,)
+
+            jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),))
+
+        def outer_cond(c):
+            return (c[0] < md) & c[1]
+
+        def outer_body(c):
+            j = c[0]
+            s = scal(sf) > 0
+            dirn = jnp.where(u_col() < 0.5, -1.0, 1.0).astype(dt)
+            go_fwd = dirn > 0
+            gw = bcd(go_fwd)
+            wk_p[:] = jnp.where(gw, zp_p[:], zm_p[:])
+            wk_m[:] = jnp.where(gw, zp_m[:], zm_m[:])
+            wk_g[:] = jnp.where(gw, zp_g[:], zm_g[:])
+            setscal(wk_lp, jnp.where(go_fwd, scal(zp_lp), scal(zm_lp)))
+            sp_p[:] = wk_p[:]
+            sp_g[:] = wk_g[:]
+            setscal(sp_lp, scal(wk_lp))
+
+            n_leaves = jnp.asarray(1, jnp.int32) << j
+            subtree(dirn, n_leaves, j)
+            ok1 = scal(sok) > 0
+            n1 = scal(snr)
+            lw1 = scal(slw)
+
+            upd_p = bcd(s & go_fwd)
+            upd_m = bcd(s & ~go_fwd)
+            zp_p[:] = jnp.where(upd_p, wk_p[:], zp_p[:])
+            zp_m[:] = jnp.where(upd_p, wk_m[:], zp_m[:])
+            zp_g[:] = jnp.where(upd_p, wk_g[:], zp_g[:])
+            setscal(zp_lp, jnp.where(s & go_fwd, scal(wk_lp),
+                                     scal(zp_lp)))
+            zm_p[:] = jnp.where(upd_m, wk_p[:], zm_p[:])
+            zm_m[:] = jnp.where(upd_m, wk_m[:], zm_m[:])
+            zm_g[:] = jnp.where(upd_m, wk_g[:], zm_g[:])
+            setscal(zm_lp, jnp.where(s & ~go_fwd, scal(wk_lp),
+                                     scal(zm_lp)))
+
+            u = u_col()
+            if multinomial:
+                lw_tot = scal(lwtot)
+                take = s & ok1 & (jnp.log(u) < lw1 - lw_tot)
+                setscal(lwtot, jnp.where(s & ok1,
+                                         jnp.logaddexp(lw_tot, lw1),
+                                         lw_tot))
+            else:
+                take = s & ok1 & (u * scal(ntot) < n1)
+            takew = bcd(take)
+            pp_p[:] = jnp.where(takew, sp_p[:], pp_p[:])
+            pp_g[:] = jnp.where(takew, sp_g[:], pp_g[:])
+            setscal(pp_lp, jnp.where(take, scal(sp_lp), scal(pp_lp)))
+            setscal(ntot, scal(ntot) + jnp.where(s, n1, 0.0))
+
+            dpars = zp_p[:] - zm_p[:]
+            turned = (jnp.sum(dpars * zm_m[:], axis=1,
+                              keepdims=True) < 0) | (
+                jnp.sum(dpars * zp_m[:], axis=1, keepdims=True) < 0)
+            setscal(ndr, scal(ndr) + jnp.where(s, 1.0, 0.0))
+            setscal(dvr, jnp.maximum(scal(dvr),
+                                     jnp.where(s, scal(sdv), 0.0)))
+            s_new = jnp.where(s & ok1 & ~turned, 1.0, 0.0).astype(dt)
+            setscal(sf, s_new)
+            return j + 1, (j + 1 < md) & jnp.any(s_new > 0)
+
+        jax.lax.while_loop(outer_cond, outer_body,
+                           (jnp.asarray(0, jnp.int32), jnp.asarray(True)))
+
+        prop = pp_p[:]
+        acc = jnp.any(prop != theta0, axis=1, keepdims=True)
+        r_theta[t] = prop
+        r_g[t] = pp_g[:]
+        r_lp[t] = jnp.broadcast_to(scal(pp_lp), (blk, LANE))
+        r_acc[t] = jnp.broadcast_to(
+            jnp.where(acc, 1.0, 0.0).astype(dt), (blk, LANE))
+        r_nd[t] = jnp.broadcast_to(scal(ndr), (blk, LANE))
+        r_dv[t] = jnp.broadcast_to(scal(dvr), (blk, LANE))
+        cur_p[:] = prop
+        cur_g[:] = pp_g[:]
+        setscal(cur_lp, scal(pp_lp))
+
+    def trans_body(t, carry):
+        transition(t)
+        return carry
+
+    jax.lax.fori_loop(0, k_trans, trans_body, 0)
+
+    theta_out[:] = cur_p[:]
+    grad_out[:] = cur_g[:]
+    lp_out[:] = jnp.broadcast_to(scal(cur_lp), lp_out.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxdoublings", "k_trans", "d", "block_chains",
+                     "mxu_dtype", "kind", "_use_w", "_use_o",
+                     "_unit_prior", "_vec_prior", "_mat_prior",
+                     "multinomial"))
+def _ms_transition_inner(XT, Y, theta, lp, grad, seeds, eps, *,
+                         maxdoublings=6, k_trans=8, d=10,
+                         block_chains=256, mxu_dtype=jnp.float32,
+                         kind="logistic", weights=None, offsets=None,
+                         prior_prec=1.0, _use_w=False, _use_o=False,
+                         _unit_prior=True, _vec_prior=False,
+                         _mat_prior=False, multinomial=False):
+    """Launch ``k_trans`` in-kernel-PRNG exact-NUTS transitions once
+    (see :func:`_nuts_ms_kernel`).  TPU-only.  Returns (theta, grad,
+    lp (C,), rows) with rows = per-transition (k_trans, C, ...)
+    post-accept arrays."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, d_pad = theta.shape
+    N = XT.shape[1]
+    blk = min(block_chains, C)
+    assert C % blk == 0
+    n_blocks = C // blk
+    lam_in, lam_spec = _lam_input(prior_prec, _vec_prior, d_pad,
+                                  mat_prior=_mat_prior)
+
+    grid = (n_blocks,)
+    chain_spec = pl.BlockSpec((blk, d_pad), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((blk, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    row3_vec = pl.BlockSpec((k_trans, blk, d_pad), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    row3_col = pl.BlockSpec((k_trans, blk, LANE), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    obs_spec = pl.BlockSpec((1, N), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    lp_w = jnp.broadcast_to(jnp.reshape(lp, (C, 1)), (C, LANE))
+    inputs = [jnp.reshape(jnp.asarray(seeds, jnp.int32), (n_blocks, 1)),
+              jnp.reshape(jnp.float32(eps), (1, 1)), lam_in, XT, Y]
+    in_specs = [pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                smem_spec, lam_spec,
+                pl.BlockSpec((d_pad, N), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                obs_spec]
+    if _use_w:
+        inputs.append(jnp.reshape(jnp.asarray(weights, jnp.float32),
+                                  (1, N)))
+        in_specs.append(obs_spec)
+    if _use_o:
+        inputs.append(jnp.reshape(jnp.asarray(offsets, jnp.float32),
+                                  (1, N)))
+        in_specs.append(obs_spec)
+    inputs += [theta, lp_w, grad]
+    in_specs += [chain_spec, col_spec, chain_spec]
+
+    vec = pltpu.VMEM((blk, d_pad), jnp.float32)
+    row = pltpu.VMEM((blk, LANE), jnp.float32)
+    scratch = [vec, vec, vec, vec, vec, vec, row, row,
+               vec, vec, row,
+               row, row, row, row, row,
+               vec, vec, vec, row,
+               vec, vec, row,
+               row, row, row, row,
+               vec, vec, row]                   # + cur_p, cur_g, cur_lp
+    scratch += [vec] * (2 * maxdoublings)
+
+    f32 = jax.ShapeDtypeStruct
+    out = pl.pallas_call(
+        functools.partial(_nuts_ms_kernel, maxdoublings=maxdoublings,
+                          k_trans=k_trans, d=d, mxu_dtype=mxu_dtype,
+                          kind=kind, use_w=_use_w, use_o=_use_o,
+                          unit_prior=_unit_prior, vec_prior=_vec_prior,
+                          mat_prior=_mat_prior, multinomial=multinomial),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[chain_spec, chain_spec, col_spec,
+                   row3_vec, row3_vec, row3_col, row3_col, row3_col,
+                   row3_col],
+        out_shape=[
+            f32((C, d_pad), theta.dtype),
+            f32((C, d_pad), theta.dtype),
+            f32((C, LANE), theta.dtype),
+            f32((k_trans, C, d_pad), theta.dtype),
+            f32((k_trans, C, d_pad), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+            f32((k_trans, C, LANE), theta.dtype),
+        ],
+        scratch_shapes=scratch,
+    )(*inputs)
+    theta, grad, lp, r_th, r_g, r_lp, r_a, r_nd, r_dv = out
+    rows = {"ppars": r_th, "pgrads": r_g, "plogtarget": r_lp[..., 0],
+            "accept": r_a[..., 0] > 0.5,
+            "ndoublings": r_nd[..., 0].astype(jnp.int32),
+            "diverging": r_dv[..., 0] > 0.5}
+    return theta, grad, lp[:, 0], rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "steps", "maxdoublings", "k_trans",
+                     "block_chains", "kind", "lam", "multinomial"))
+def _nuts_run_hw(XT, Y, theta0, eps, key, *, d, steps, maxdoublings,
+                 k_trans, block_chains, kind="logistic", W=None, O=None,
+                 lam=1.0, lam_vec=None, multinomial=False):
+    """Scan ``steps`` exact-NUTS transitions as ``steps // k_trans``
+    multistep launches with in-kernel PRNG (same info protocol as
+    :func:`_nuts_run`; TPU-only, different PRNG stream)."""
+    from .pallas_glm import is_mat_prior, link_terms
+
+    C, d_pad = theta0.shape
+    n_launches = steps // k_trans
+    n_blocks = C // min(block_chains, C)
+    mat = lam_vec is not None and is_mat_prior(lam_vec)
+
+    ll_fn, resid_fn = link_terms(kind)
+    prior = lam if lam_vec is None else lam_vec
+
+    def prior_term(theta):
+        if mat:
+            return jnp.dot(theta, prior,
+                           preferred_element_type=jnp.float32)
+        return prior * theta
+
+    def logp_grad(theta):
+        logits = jnp.dot(theta, XT, preferred_element_type=jnp.float32)
+        if O is not None:
+            logits = logits + O
+        r = resid_fn(logits, Y)
+        ll = ll_fn(logits, Y)
+        if W is not None:
+            r, ll = W * r, W * ll
+        pt = prior_term(theta)
+        g = jnp.dot(r, XT.T, preferred_element_type=jnp.float32) - pt
+        lp = jnp.sum(ll, axis=1) - 0.5 * jnp.sum(pt * theta, axis=1)
+        return lp, g
+
+    lp0, g0 = logp_grad(theta0)
+    kw = dict(maxdoublings=maxdoublings, k_trans=k_trans, d=d,
+              block_chains=block_chains, kind=kind, weights=W, offsets=O,
+              prior_prec=prior, _use_w=W is not None, _use_o=O is not None,
+              _unit_prior=lam_vec is None and float(lam) == 1.0,
+              _vec_prior=lam_vec is not None and not mat, _mat_prior=mat,
+              multinomial=multinomial)
+
+    def launch(carry, k):
+        theta, lp, g = carry
+        seeds = jax.random.randint(k, (n_blocks,), 0, np.int32(2**31 - 1),
+                                   dtype=jnp.int32)
+        theta, g, lp, rows = _ms_transition_inner(
+            XT, Y, theta, lp, g, seeds, eps, **kw)
+        info = {"ppars": rows["ppars"][..., :d],
+                "pgrads": rows["pgrads"][..., :d],
+                "plogtarget": rows["plogtarget"],
+                "accept": rows["accept"],
+                "epsilon": jnp.broadcast_to(eps, (k_trans, C)),
+                "ndoublings": rows["ndoublings"],
+                "diverging": rows["diverging"]}
+        return (theta, lp, g), info
+
+    keys = jax.random.split(key, n_launches)
+    (thetaF, lpF, gF), infos = jax.lax.scan(launch, (theta0, lp0, g0),
+                                            keys)
+    infos = {k2: jnp.reshape(v, (steps,) + v.shape[2:])
+             for k2, v in infos.items()}
+    return (thetaF, lpF, gF), infos

@@ -1206,12 +1206,22 @@ def make_fused_continuation(model, sampler, states0, interpret=None,
             kw["extras"] = False
 
         if nuts_exact:
-            from .pallas_nuts import _nuts_run
+            from .pallas_nuts import _nuts_run, _nuts_run_hw
 
             assert not big_n, \
                 "exact-NUTS continuation: small-N kernels only"
+            hw_ok, hw_kt = _nuts_hw_route(interpret, 16, spec, d_pad,
+                                          n_chains, lam, lam_fold, W, O,
+                                          sampler, XT, Y2, d)
 
             def run_phase(th0, k, block, steps, i0):
+                if hw_ok and steps % hw_kt == 0:
+                    return _nuts_run_hw(
+                        XT, Y2, th0, jnp.float32(eps), k, d=d, steps=steps,
+                        maxdoublings=sampler.maxdoublings, k_trans=hw_kt,
+                        block_chains=block, kind=spec.kind, W=W, O=O,
+                        lam=lam, lam_vec=lam_fold,
+                        multinomial=sampler.multinomial)
                 return _nuts_run(XT, Y2, th0, jnp.float32(eps), k, d=d,
                                  steps=steps,
                                  maxdoublings=sampler.maxdoublings,
@@ -1437,6 +1447,63 @@ def warmfused_nuts_chains(model, sampler, runner, n_chains, key,
     return infos, states
 
 
+_NUTS_HW_PROBE_CACHE = {}
+
+
+def _nuts_hw_route(interpret, steps, spec, d_pad, n_chains, lam, lam_vec,
+                   W, O, sampler, XT, Y, d):
+    """(use_hw, k_trans) for the exact-NUTS sampling phase: the in-kernel-
+    PRNG multistep tree kernel on real TPU, AOT-compiled at the REAL
+    driver shapes with a k ladder (the rank-3 row buffers scale with
+    k x chains — same scoped-VMEM sensitivity as the HMC multistep)."""
+    from .glm_hmc import _pick_block
+    from .pallas_nuts import _nuts_run_hw
+
+    if interpret or jax.default_backend() != "tpu" or spec is None:
+        return False, 1
+    kt0 = _pick_k_trans(steps)
+    if kt0 <= 1:
+        return False, 1
+    cands = [kt0]
+    for k in range(kt0 // 2, 1, -1):
+        if steps % k == 0:
+            cands.append(k)
+            break
+    if steps % 2 == 0 and 2 not in cands:
+        cands.append(2)
+    blk = _pick_block(n_chains)
+    f32 = jax.ShapeDtypeStruct
+    th_aval = f32((n_chains, d_pad), jnp.float32)
+    for kt in cands:
+        sig = (n_chains, d_pad, spec.X.shape[0], kt, steps,
+               spec.kind if isinstance(spec.kind, str) else id(spec.kind),
+               W is not None, O is not None,
+               None if lam_vec is None else tuple(np.shape(lam_vec)),
+               sampler.maxdoublings, sampler.multinomial)
+        hit = _NUTS_HW_PROBE_CACHE.get(sig)
+        if hit is True:
+            return True, kt
+        if hit is False:
+            continue
+        try:
+            _nuts_run_hw.lower(
+                XT, Y, th_aval, jnp.float32(0.1), jax.random.PRNGKey(0),
+                d=d, steps=steps, maxdoublings=sampler.maxdoublings,
+                k_trans=kt, block_chains=blk, kind=spec.kind, W=W, O=O,
+                lam=lam, lam_vec=lam_vec,
+                multinomial=sampler.multinomial).compile()
+            _NUTS_HW_PROBE_CACHE[sig] = True
+            return True, kt
+        except Exception as e:  # pragma: no cover - backend-specific
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "multistep exact-NUTS driver failed to compile at C=%d "
+                "kt=%d (%s)", n_chains, kt, type(e).__name__)
+            _NUTS_HW_PROBE_CACHE[sig] = False
+    return False, 1
+
+
 def nuts_exact_route_supported(model, sampler, n_chains):
     """Compile-probe the fused exact-NUTS tree kernel for the variant a
     warm-start / continuation phase would run (metric folded into the
@@ -1494,7 +1561,7 @@ def warmfused_nuts_exact_chains(model, sampler, runner, n_chains, key,
     sampler at fused-kernel cost per leaf.
     """
     from .pallas_glm import LANE, _round_up, pad_chains
-    from .pallas_nuts import _nuts_run, _nuts_target_run
+    from .pallas_nuts import _nuts_run, _nuts_run_hw, _nuts_target_run
 
     spec = model.glm_spec
     assert _warm_ok(model, sampler, runner), \
@@ -1534,8 +1601,19 @@ def warmfused_nuts_exact_chains(model, sampler, runner, n_chains, key,
         XT, Y2, d_pad, theta0, lam, lam_fold, W, O = _fold(
             spec, d, states_w, s, tiled=False)
         theta0p = pad_chains(jnp.asarray(theta0, jnp.float32), d_pad)
+        use_hw, kt = _nuts_hw_route(interpret, steps2, spec, d_pad,
+                                    n_chains, lam, lam_fold, W, O,
+                                    sampler, XT, Y2, d)
 
         def run_phase(th0, k, block):
+            if use_hw:
+                return _nuts_run_hw(XT, Y2, th0, jnp.float32(eps), k,
+                                    d=d, steps=steps2,
+                                    maxdoublings=sampler.maxdoublings,
+                                    k_trans=kt, block_chains=block,
+                                    kind=spec.kind, W=W, O=O, lam=lam,
+                                    lam_vec=lam_fold,
+                                    multinomial=sampler.multinomial)
             return _nuts_run(XT, Y2, th0, jnp.float32(eps), k, d=d,
                              steps=steps2,
                              maxdoublings=sampler.maxdoublings,
