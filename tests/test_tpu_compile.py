@@ -149,6 +149,16 @@ assert nuts_target_kernel_supported(blockfn, LANE, 128, 6), \
     "target exact-NUTS kernel"
 assert nuts_target_kernel_supported(blockfn, LANE, 128, 6, vec_eps=True), \
     "target exact-NUTS vec-eps kernel"
+
+# round-5: multistep exact-NUTS (in-kernel PRNG, per-transition rows)
+from mcmc_jl_tpu.ops.pallas_nuts import _ms_transition_inner
+cd2 = f32((256, LANE), jnp.float32)
+jax.jit(lambda XT, Y, th, lp, g, seeds: _ms_transition_inner(
+    XT, Y, th, lp, g, seeds, jnp.float32(0.1), maxdoublings=6, k_trans=4,
+    d=10, block_chains=256)).lower(
+    f32((LANE, 1000), jnp.float32), f32((1, 1000), jnp.float32),
+    cd2, f32((256,), jnp.float32), cd2,
+    jax.ShapeDtypeStruct((1,), jnp.int32)).compile()
 print("OK")
 """
 
