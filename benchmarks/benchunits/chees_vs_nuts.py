@@ -116,6 +116,10 @@ def run():
          n_chains * steps / dt, "steps/s"),
         ("logistic 10x1000 NUTS warm-handoff: pooled min-coord ESS/s",
          ess / dt, "ESS/s"),
+        # NOTE: this 32-chain ratio is latency-bound noise on a single
+        # chip — the at-scale measurement (256/1024 chains, vs both the
+        # generic engine AND the round-5 exact fused tree kernel) lives
+        # in benchunits/nuts_fused.py
         ("logistic 10x1000 NUTS warm-handoff vs staying-NUTS (ESS/s ratio)",
          (ess / dt) / max(essps["NUTS(md=6)"], 1e-12), "x"),
     ]
