@@ -27,7 +27,7 @@ from .base import (
     EmpMCTuner, RunCtx, Sampler, TuneState, metropolis_accept,
     pytree_dataclass, tuner_init, tuner_update,
 )
-from .smmala import chol_auto, chol_inverse
+from .smmala import chol_inverse
 
 
 @pytree_dataclass
@@ -51,7 +51,7 @@ class LMCState:
 def _geometry(grad, G, dG):
     """(invG, cholG, dphi, C) from the metric and its derivative (one
     Cholesky; the inverse via triangular solves)."""
-    cholG = chol_auto(G)
+    cholG = jnp.linalg.cholesky(G)
     invG = chol_inverse(cholG)
     traces = jnp.einsum("ab,baj->j", invG, dG)  # trace(invG dG_j)
     dphi = -grad + 0.5 * traces

@@ -45,12 +45,7 @@ def _geometry(grad, G, dG):
     """(L, drift) with drift = G^{-1}grad - sum_i (G^{-1} dG_i G^{-1})_{:,i}
     (PMALA.jl:76-80) from one Cholesky; the inverse comes from two
     triangular solves against the identity."""
-    from ..ops.smallchol import SMALL_D_MAX, chol_small
-
-    if G.shape[-1] <= SMALL_D_MAX:
-        L = chol_small(G)
-    else:
-        L = jnp.linalg.cholesky(G)
+    L = jnp.linalg.cholesky(G)
     invG = chol_inverse(L)
     first = invG @ grad
     # second[a] = sum_i (invG @ dG[:, :, i] @ invG)[a, i]
@@ -97,14 +92,9 @@ class PMALA(Sampler):
         L = state.chol
         pars_mean = state.pars + (eps / 2.0) * state.drift
 
-        from ..ops.smallchol import SMALL_D_MAX, solve_upper_t_small
-
         noise = jax.random.normal(k_prop, state.pars.shape, dtype=dtype)
-        if L.shape[-1] <= SMALL_D_MAX:
-            x = solve_upper_t_small(L, noise)
-        else:
-            x = solve_triangular(L.T, noise, lower=False)
-        proposed = pars_mean + jnp.sqrt(eps) * x
+        proposed = pars_mean + jnp.sqrt(eps) * solve_triangular(
+            L.T, noise, lower=False)
 
         plp, pgrad, pG, pdG = model.evalalldt(proposed)
         pL, p_drift = _geometry(pgrad, pG, pdG)

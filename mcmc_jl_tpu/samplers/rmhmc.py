@@ -21,7 +21,7 @@ from .base import (
     EmpMCTuner, RunCtx, Sampler, TuneState, metropolis_accept,
     pytree_dataclass, tuner_init, tuner_update,
 )
-from .smmala import chol_auto, chol_inverse
+from .smmala import chol_inverse
 
 
 @pytree_dataclass
@@ -117,7 +117,7 @@ class RMHMC(Sampler):
             nl = jnp.asarray(self.n_leaps, dtype=jnp.int32)
 
         G0 = state.G  # carried from the last accept (see RMHMCState)
-        cholG0 = chol_auto(G0)
+        cholG0 = jnp.linalg.cholesky(G0)
         invG0 = chol_inverse(cholG0)
         m0 = cholG0 @ jax.random.normal(k_mom, (d,), dtype=dtype)
         # log det term spelled as in RMHMC.jl:107 (constant cancels in ratio)
@@ -159,7 +159,7 @@ class RMHMC(Sampler):
 
             # refresh metric and finish momentum step (RMHMC.jl:143-156)
             G = model.evalt(pars)
-            invG = chol_inverse(chol_auto(G))
+            invG = chol_inverse(jnp.linalg.cholesky(G))
             dG = model.evaldt(pars)
             invGxdG, traces = _metric_pack(invG, dG)
             invG_m = invG @ m
@@ -174,7 +174,7 @@ class RMHMC(Sampler):
 
         plp = model.eval(pars)
         pgrad = model.evalg(pars)
-        cholG = chol_auto(G)
+        cholG = jnp.linalg.cholesky(G)
         logdet_term = 0.5 * (
             jnp.log(2.0) + d * jnp.log(jnp.pi)
             + 2.0 * jnp.sum(jnp.log(jnp.diagonal(cholG)))

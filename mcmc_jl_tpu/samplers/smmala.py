@@ -58,41 +58,17 @@ def _logdet_chol(L):
 
 
 def _chol_drift(G, grad):
-    """(L, G^{-1} grad) from one Cholesky + two triangular solves.
-
-    Small d uses the UNROLLED kernels (ops/smallchol.py): batched
-    LAPACK-style chol/solve on TPU is a latency-bound sequential kernel,
-    while the unrolled DAG fuses across the vmapped chain batch."""
-    from ..ops.smallchol import (SMALL_D_MAX, chol_small,
-                                 chol_solve_small)
-
-    if G.shape[-1] <= SMALL_D_MAX:
-        L = chol_small(G)
-        return L, chol_solve_small(L, grad)
+    """(L, G^{-1} grad) from one Cholesky + two triangular solves."""
     L = jnp.linalg.cholesky(G)
     drift = solve_triangular(
         L.T, solve_triangular(L, grad, lower=True), lower=False)
     return L, drift
 
 
-def chol_auto(G):
-    """Lower Cholesky factor — the unrolled small-d kernel when it fits,
-    else ``jnp.linalg.cholesky``."""
-    from ..ops.smallchol import SMALL_D_MAX, chol_small
-
-    if G.shape[-1] <= SMALL_D_MAX:
-        return chol_small(G)
-    return jnp.linalg.cholesky(G)
-
-
 def chol_inverse(L):
-    """``G^{-1}`` from the lower Cholesky factor of ``G`` (triangular
+    """``G^{-1}`` from the lower Cholesky factor of ``G`` (two triangular
     solves against the identity — shared by the manifold family in place
-    of ``jnp.linalg.inv``; unrolled kernels at small d)."""
-    from ..ops.smallchol import SMALL_D_MAX, inv_from_chol_small
-
-    if L.shape[-1] <= SMALL_D_MAX:
-        return inv_from_chol_small(L)
+    of ``jnp.linalg.inv``)."""
     eye = jnp.eye(L.shape[0], dtype=L.dtype)
     return solve_triangular(
         L.T, solve_triangular(L, eye, lower=True), lower=False)
@@ -137,14 +113,9 @@ class SMMALA(Sampler):
         pars_mean = state.pars + (eps / 2.0) * state.drift
 
         # proposal ~ N(pars_mean, eps G^{-1}) via x = sqrt(eps) L^{-T} z
-        from ..ops.smallchol import SMALL_D_MAX, solve_upper_t_small
-
         noise = jax.random.normal(k_prop, state.pars.shape, dtype=dtype)
-        if L.shape[-1] <= SMALL_D_MAX:
-            x = solve_upper_t_small(L, noise)
-        else:
-            x = solve_triangular(L.T, noise, lower=False)
-        proposed = pars_mean + jnp.sqrt(eps) * x
+        proposed = pars_mean + jnp.sqrt(eps) * solve_triangular(
+            L.T, noise, lower=False)
 
         plp, pgrad, pG = model.evalallt(proposed)
         pL, p_drift = _chol_drift(pG, pgrad)
