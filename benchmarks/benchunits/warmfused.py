@@ -193,6 +193,32 @@ def run():
     out.append(("warmfused: AMORTIZED resume vs plain fused (rate ratio)",
                 rate_cam / max(rate_plain, 1e-12), "x"))
 
+    # --- adaptive MALA warm pipeline (round 5): frozen drift step as
+    # one-leapfrog HMC through the fused kernels ---------------------------
+    sampler_ml = mc.MALA(0.002, mc.EmpMCTuner(0.574, adapt_step=50))
+
+    def run_mala_warm(seed=0):
+        infos, _ = warmfused_hmc_chains(model, sampler_ml, runner, C,
+                                        key=jax.random.PRNGKey(seed),
+                                        interpret=not on_tpu)
+        return fetch(infos)
+
+    dt_ml = time_run(run_mala_warm)
+    out.append(("warmfused: adaptive MALA end-to-end trans/s (warmup incl)",
+                C * steps / dt_ml, "trans/s"))
+
+    r_mlg = mc.SerialMC(steps=max(burnin + 100, 300), burnin=burnin)
+
+    def run_mala_gen(seed=0):
+        infos, _, _ = run_chains(model, sampler_ml, r_mlg, C_gen,
+                                 seed=seed, jitter=0.1)
+        return fetch(infos)
+
+    dt_mlg = time_run(run_mala_gen)
+    out.append(("warmfused: adaptive MALA vs adaptive generic (rate ratio)",
+                (C * steps / dt_ml) / max(C_gen * r_mlg.len / dt_mlg,
+                                          1e-12), "x"))
+
     # --- ChEES warm-fused transition rate --------------------------------
     sampler_ch = mc.ChEESHMC(len0=0.5, max_leaps=64)
 
